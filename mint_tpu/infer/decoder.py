@@ -1,0 +1,148 @@
+"""Autoregressive sliding-window decoder as a compiled ``lax.scan``.
+
+The reference generates dances with an eager Python loop
+(mint/core/fact_model.py:103-132): per generated frame it
+
+1. slices the audio window ``audio[:, i : i+240]``,
+2. runs the FULL 360-token forward (motion 120 + audio 240),
+3. keeps output frame 0,
+4. shifts the motion window left by one and appends the prediction.
+
+That is one full forward per frame, eager, batch 1, CPU — the single biggest
+performance hole in the reference.  Here the same *protocol* (bit-identical
+update rule) is a ``lax.scan`` compiled once by XLA and batched over clips:
+
+- the whole 1200-step loop runs on-device with no host round-trips,
+- the audio linear embedding is hoisted out of the loop (it is
+  position-independent, so embedding the full audio track once is exact),
+- the motion linear embedding is maintained as a rolling embedded buffer —
+  each step embeds only the one new frame (exact, since the linear embedding
+  has no positional dependence),
+- the transformers are recomputed per step, as they must be: the learned
+  position embeddings re-bind to window-relative positions every step, so
+  cross-step KV caching would change the math.  (A 16-layer/360-token
+  recompute per frame maps straight onto the MXU.)
+
+Note the position-embedding add happens inside the loop *after* slicing, so
+results match the reference's recompute-everything loop exactly (modulo
+floating-point summation order).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mint_tpu.models.fact import FACT
+
+
+def _forward_from_embedded(model: FACT, params, motion_emb: jax.Array,
+                           audio_emb: jax.Array) -> jax.Array:
+    """Forward pass given already-linear-embedded inputs.
+
+    motion_emb: [B, motion_seq, hidden]  (linear embedding only, no pos)
+    audio_emb:  [B, audio_seq, hidden]
+    """
+
+    def run(mdl: FACT):
+        m = mdl.motion_pos_embedding(motion_emb)
+        m = mdl.motion_transformer(m)
+        a = mdl.audio_pos_embedding(audio_emb)
+        a = mdl.audio_transformer(a)
+        return mdl.cross(m, a)
+
+    return model.apply(params, method=run)
+
+
+def _embed(model: FACT, params, name: str, x: jax.Array) -> jax.Array:
+    def run(mdl: FACT):
+        emb = getattr(mdl, f"{name}_linear_embedding")
+        return emb(x)
+
+    return model.apply(params, method=run)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "steps"))
+def infer_auto_regressive(model: FACT, params,
+                          inputs: Dict[str, jax.Array],
+                          steps: int = 1200) -> jax.Array:
+    """Batched AR generation (protocol parity with fact_model.py:103-132).
+
+    Args:
+      model: a FACT module.
+      params: parameter pytree.
+      inputs: dict with ``motion_input`` [B, motion_seq, motion_dim] seed and
+        ``audio_input`` [B, T_audio, audio_dim] full-length audio features.
+      steps: frames to generate.  Like the reference, generation stops when
+        the audio window would run past the end; with a static scan we
+        instead require T_audio >= steps + audio_seq - 1 and callers
+        pre-truncate `steps` accordingly (see :func:`max_steps`).
+
+    Returns:
+      [B, steps, motion_dim] generated frames.
+    """
+    audio_seq = model.audio_seq_length
+    motion_seq = model.motion_seq_length
+    motion_input = inputs["motion_input"]
+    audio_input = inputs["audio_input"]
+    b, t_audio, _ = audio_input.shape
+    if t_audio < steps + audio_seq - 1:
+        raise ValueError(
+            f"audio too short: {t_audio} frames < steps + audio_seq - 1 = "
+            f"{steps + audio_seq - 1}; clamp steps with max_steps() first "
+            "(the reference breaks out of its Python loop at this point)")
+
+    # Hoist position-independent embeddings out of the scan.
+    audio_emb_full = _embed(model, params, "audio", audio_input)
+    motion_emb = _embed(model, params, "motion", motion_input)
+
+    def step(carry, i):
+        motion_emb = carry
+        audio_emb = jax.lax.dynamic_slice_in_dim(
+            audio_emb_full, i, audio_seq, axis=1)
+        out = _forward_from_embedded(model, params, motion_emb, audio_emb)
+        frame = out[:, 0:1, :]  # keep only the first output frame
+        # Shift the embedded motion window by one, append the new frame's
+        # embedding (linear embedding commutes with the shift — exact).
+        new_emb = _embed(model, params, "motion", frame)
+        motion_emb = jnp.concatenate([motion_emb[:, 1:, :], new_emb], axis=1)
+        return motion_emb, frame[:, 0, :]
+
+    _, frames = jax.lax.scan(step, motion_emb, jnp.arange(steps))
+    # frames: [steps, B, motion_dim] -> [B, steps, motion_dim]
+    return jnp.transpose(frames, (1, 0, 2))
+
+
+def max_steps(model: FACT, audio_len: int, requested: int = 1200) -> int:
+    """Number of frames the reference protocol would actually generate.
+
+    The reference breaks when ``audio[i : i+audio_seq]`` is short
+    (fact_model.py:124-126): it generates min(requested,
+    audio_len - audio_seq + 1) frames.
+    """
+    return max(0, min(requested, audio_len - model.audio_seq_length + 1))
+
+
+def infer_auto_regressive_reference(model: FACT, params,
+                                    inputs: Dict[str, jax.Array],
+                                    steps: int = 1200) -> jax.Array:
+    """Direct transcription of the reference eager loop, for parity tests
+    and as the baseline protocol measurement (one full forward per frame,
+    Python loop, no embedding hoisting)."""
+    audio_seq = model.audio_seq_length
+    outputs = []
+    motion_input = inputs["motion_input"]
+    audio_full = inputs["audio_input"]
+    for i in range(steps):
+        audio_input = audio_full[:, i:i + audio_seq]
+        if audio_input.shape[1] < audio_seq:
+            break
+        out = model.apply(params, {"motion_input": motion_input,
+                                   "audio_input": audio_input})
+        out = out[:, 0:1, :]
+        outputs.append(out)
+        motion_input = jnp.concatenate([motion_input[:, 1:, :], out], axis=1)
+    return jnp.concatenate(outputs, axis=1)

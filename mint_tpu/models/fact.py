@@ -1,0 +1,144 @@
+"""The FACT (Full-Attention Cross-modal Transformer) model.
+
+JAX/Flax re-design of the reference ``mint/core/fact_model.py``:
+
+- two single-modal encoders (audio, motion), each
+  LinearEmbedding -> PositionEmbedding -> Transformer
+  (fact_model.py:49-70, 88-96)
+- a cross-modal layer: sequence-wise concat (motion first, then audio) ->
+  deeper Transformer -> Dense output head (fact_model.py:99-101,
+  base_models.py:182-202)
+- L2 training loss over the first ``target_seq_len`` output frames
+  (fact_model.py:134-148)
+
+Autoregressive generation lives in :mod:`mint_tpu.infer.decoder` as a
+``lax.scan`` (vs. the reference's eager Python loop, fact_model.py:103-132).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mint_tpu.config.schema import FACTModelConfig
+from mint_tpu.models import layers
+
+
+class FACT(nn.Module):
+    """FACT model; construct with a :class:`FACTModelConfig`."""
+
+    config: FACTModelConfig
+    use_pallas: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        motion_cfg = cfg.modality_by_name("motion")
+        audio_cfg = cfg.modality_by_name("audio")
+        motion_tf = motion_cfg.model[0].transformer
+        audio_tf = audio_cfg.model[0].transformer
+        cm = cfg.cross_modal_model
+        if cm.cross_modal_concat_dim != "SEQUENCE_WISE":
+            raise NotImplementedError(
+                "cross_modal_concat_dim %s is not supported."
+                % cm.cross_modal_concat_dim)
+
+        self.motion_seq_length = motion_cfg.sequence_length
+        self.audio_seq_length = audio_cfg.sequence_length
+
+        kw = dict(use_pallas=self.use_pallas,
+                  compute_dtype=self.compute_dtype)
+        self.motion_linear_embedding = layers.LinearEmbedding(
+            motion_tf.hidden_size, compute_dtype=self.compute_dtype)
+        self.motion_pos_embedding = layers.PositionEmbedding(
+            motion_cfg.sequence_length, motion_tf.hidden_size,
+            compute_dtype=self.compute_dtype)
+        self.motion_transformer = layers.Transformer(
+            hidden_size=motion_tf.hidden_size,
+            num_hidden_layers=motion_tf.num_hidden_layers,
+            num_attention_heads=motion_tf.num_attention_heads,
+            intermediate_size=motion_tf.intermediate_size,
+            initializer_range=motion_tf.initializer_range, **kw)
+
+        self.audio_linear_embedding = layers.LinearEmbedding(
+            audio_tf.hidden_size, compute_dtype=self.compute_dtype)
+        self.audio_pos_embedding = layers.PositionEmbedding(
+            audio_cfg.sequence_length, audio_tf.hidden_size,
+            compute_dtype=self.compute_dtype)
+        self.audio_transformer = layers.Transformer(
+            hidden_size=audio_tf.hidden_size,
+            num_hidden_layers=audio_tf.num_hidden_layers,
+            num_attention_heads=audio_tf.num_attention_heads,
+            intermediate_size=audio_tf.intermediate_size,
+            initializer_range=audio_tf.initializer_range, **kw)
+
+        self.cross_modal_layer = layers.CrossModalLayer(
+            hidden_size=cm.transformer.hidden_size,
+            num_hidden_layers=cm.transformer.num_hidden_layers,
+            num_attention_heads=cm.transformer.num_attention_heads,
+            intermediate_size=cm.transformer.intermediate_size,
+            out_dim=cm.output_layer.out_dim,
+            output_initializer_range=cm.output_layer.initializer_range, **kw)
+
+    def encode_motion(self, motion_input: jax.Array) -> jax.Array:
+        """[B, motion_seq, motion_dim] -> [B, motion_seq, hidden]."""
+        x = self.motion_linear_embedding(motion_input)
+        x = self.motion_pos_embedding(x)
+        return self.motion_transformer(x)
+
+    def encode_audio(self, audio_input: jax.Array) -> jax.Array:
+        """[B, audio_seq, audio_dim] -> [B, audio_seq, hidden]."""
+        x = self.audio_linear_embedding(audio_input)
+        x = self.audio_pos_embedding(x)
+        return self.audio_transformer(x)
+
+    def cross(self, motion_features: jax.Array,
+              audio_features: jax.Array) -> jax.Array:
+        """Cross-modal transformer over concat(motion, audio) tokens."""
+        return self.cross_modal_layer(motion_features, audio_features)
+
+    def __call__(self, inputs: Dict[str, jax.Array]) -> jax.Array:
+        """Training/eval forward pass (fact_model.py:72-101).
+
+        Args:
+          inputs: dict with ``motion_input`` [B, motion_seq, motion_dim] and
+            ``audio_input`` [B, audio_seq, audio_dim].
+
+        Returns:
+          [B, motion_seq + audio_seq, out_dim]; only the first N frames are
+          supervised during training.
+        """
+        motion_features = self.encode_motion(inputs["motion_input"])
+        audio_features = self.encode_audio(inputs["audio_input"])
+        return self.cross(motion_features, audio_features)
+
+
+def l2_loss(target: jax.Array, pred: jax.Array) -> jax.Array:
+    """Mean-square loss over the first target_seq_len frames
+    (fact_model.py:143-148)."""
+    target_seq_len = target.shape[1]
+    diff = target - pred[:, :target_seq_len]
+    return jnp.mean(jnp.square(diff))
+
+
+def init_params(model: FACT, rng: jax.Array,
+                batch_size: int = 1) -> dict:
+    """Initialize parameters with correctly-shaped dummy inputs."""
+    cfg = model.config
+    motion_cfg = cfg.modality_by_name("motion")
+    audio_cfg = cfg.modality_by_name("audio")
+    motion_dim = motion_cfg.feature_dim or cfg.cross_modal_model.output_layer.out_dim
+    # The shipped config leaves audio feature_dim unset; the AIST++ audio
+    # frontend emits 35-dim features (tools/preprocessing.py:115-117).
+    audio_dim = audio_cfg.feature_dim or 35
+    dummy = {
+        "motion_input": jnp.zeros(
+            (batch_size, motion_cfg.sequence_length, motion_dim),
+            jnp.float32),
+        "audio_input": jnp.zeros(
+            (batch_size, audio_cfg.sequence_length, audio_dim), jnp.float32),
+    }
+    return model.init(rng, dummy)

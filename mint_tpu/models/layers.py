@@ -1,0 +1,204 @@
+"""Transformer building blocks for the FACT model, in Flax.
+
+Parity contract with the reference (``mint/core/base_models.py``,
+``mint/core/base_model_util.py``):
+
+- pre-LN blocks: ``x + Attn(LN(x))`` then ``x + MLP(LN(x))``
+  (Residual(Norm(fn)) composition, base_models.py:91-110)
+- LayerNorm epsilon 1e-5 (base_models.py:27)
+- attention: fused QKV Dense(3*dim, no bias), scores scaled by the FULL
+  model dim ** -0.5 (base_models.py:63-64), softmax, output Dense(dim)
+- GELU uses the tanh approximation (base_model_util.py:94-107), NOT erf
+- additive learned position embedding [seq_len, dim], truncated-normal 0.02
+  (base_models.py:141-156)
+- no attention masks and no dropout on the shipped FACT config path
+  (the reference configures dropout in protos but never applies it in these
+  blocks)
+
+Weight layout is chosen so a TF-checkpoint converter is a plain reshape-free
+name mapping: every Dense kernel is stored [in_dim, out_dim] like Keras.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mint_tpu.ops.attention import multi_head_attention
+
+# Keras-compatible initializers: Dense defaults to glorot_uniform + zeros.
+_DENSE_KERNEL_INIT = nn.initializers.glorot_uniform()
+
+
+def trunc_normal(stddev: float = 0.02):
+    """Reference `create_initializer` (base_model_util.py:89-91)."""
+    return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0,
+                                            upper=2.0)
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """Tanh-approximated GELU, matching base_model_util.py:94-107 exactly."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+ACTIVATIONS = {
+    "gelu": gelu_tanh,
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "linear": None,
+}
+
+
+class Dense(nn.Dense):
+    """nn.Dense with Keras-default glorot_uniform kernel init."""
+
+    kernel_init: nn.initializers.Initializer = _DENSE_KERNEL_INIT
+
+
+class Attention(nn.Module):
+    """Unmasked multi-head self-attention (base_models.py:60-88)."""
+
+    dim: int
+    heads: int = 8
+    use_pallas: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, _ = x.shape
+        scale = self.dim ** -0.5  # full model dim, reference parity
+        qkv = Dense(self.dim * 3, use_bias=False, name="to_qkv",
+                    dtype=self.compute_dtype)(x)
+        # [b, n, 3*h*d] -> 3 x [b, h, n, d]
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim // self.heads)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = multi_head_attention(q, k, v, scale, use_pallas=self.use_pallas)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, self.dim)
+        return Dense(self.dim, name="to_out", dtype=self.compute_dtype)(out)
+
+
+class MLP(nn.Module):
+    """GELU feedforward (base_models.py:45-57)."""
+
+    out_dim: int
+    hidden_dim: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = Dense(self.hidden_dim, name="fc1", dtype=self.compute_dtype)(x)
+        x = gelu_tanh(x)
+        return Dense(self.out_dim, name="fc2", dtype=self.compute_dtype)(x)
+
+
+class Block(nn.Module):
+    """One pre-LN transformer block: Residual(Norm(Attn)) + Residual(Norm(MLP))."""
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    use_pallas: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_attn",
+                         dtype=self.compute_dtype)(x)
+        x = x + Attention(self.hidden_size, self.num_heads,
+                          use_pallas=self.use_pallas,
+                          compute_dtype=self.compute_dtype,
+                          name="attn")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_mlp",
+                         dtype=self.compute_dtype)(x)
+        x = x + MLP(self.hidden_size, self.intermediate_size,
+                    compute_dtype=self.compute_dtype, name="mlp")(h)
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of pre-LN blocks (base_models.py:91-110)."""
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    initializer_range: float = 0.02
+    use_pallas: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(self.num_hidden_layers):
+            x = Block(self.hidden_size, self.num_attention_heads,
+                      self.intermediate_size, use_pallas=self.use_pallas,
+                      compute_dtype=self.compute_dtype,
+                      name=f"block_{i}")(x)
+        return x
+
+
+class LinearEmbedding(nn.Module):
+    """Linear input projection (base_models.py:130-138)."""
+
+    dim: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return Dense(self.dim, name="dense", dtype=self.compute_dtype)(x)
+
+
+class PositionEmbedding(nn.Module):
+    """Additive learned position embedding (base_models.py:141-156)."""
+
+    seq_length: int
+    dim: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pos = self.param("pos_embedding", trunc_normal(0.02),
+                         (self.seq_length, self.dim), jnp.float32)
+        # Reference adds the full [seq_len, dim] table; inputs always have
+        # exactly seq_length tokens on the FACT path.
+        return x + pos.astype(x.dtype)
+
+
+class CrossModalLayer(nn.Module):
+    """Sequence-wise concat -> transformer -> output head
+    (base_models.py:159-202)."""
+
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    intermediate_size: int
+    out_dim: int
+    output_initializer_range: float = 0.02
+    use_pallas: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, modal_a: jax.Array, modal_b: jax.Array) -> jax.Array:
+        if modal_a.shape[-1] != modal_b.shape[-1]:
+            raise ValueError(
+                "The modal_a hidden size (%d) should be the same with the "
+                "modal_b hidden size (%d)"
+                % (modal_a.shape[-1], modal_b.shape[-1]))
+        merged = jnp.concatenate([modal_a, modal_b], axis=1)
+        merged = Transformer(
+            hidden_size=self.hidden_size,
+            num_hidden_layers=self.num_hidden_layers,
+            num_attention_heads=self.num_attention_heads,
+            intermediate_size=self.intermediate_size,
+            use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
+            name="transformer")(merged)
+        logits = nn.Dense(
+            self.out_dim,
+            kernel_init=trunc_normal(self.output_initializer_range),
+            dtype=self.compute_dtype,
+            name="cross_output_layer")(merged)
+        return logits

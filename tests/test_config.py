@@ -1,0 +1,114 @@
+"""Config-system tests: textproto grammar + shipped-config parity.
+
+Mirrors the role of the reference's config-driven setup
+(mint/utils/config_util.py, mint/utils/inputs_util_test.py).
+"""
+
+import os
+
+from mint_tpu.config import (
+    configs_dict,
+    load_pipeline_config,
+    textproto,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG = os.path.join(REPO, "configs", "fact_v5_deeper_t10_cm12.config")
+
+
+def test_textproto_grammar():
+    msg = textproto.parse(
+        """
+        # comment
+        a: 1
+        b: -2.5e-3
+        c: "hello world"
+        d: true
+        e: SEQUENCE_WISE
+        nested { x: 1 }
+        nested: { x: 2 }
+        f: 1e-4
+        """
+    )
+    assert msg.get("a") == 1
+    assert abs(msg.get("b") + 2.5e-3) < 1e-12
+    assert msg.get("c") == "hello world"
+    assert msg.get("d") is True
+    assert msg.get("e") == "SEQUENCE_WISE"
+    assert [m.get("x") for m in msg.get_all("nested")] == [1, 2]
+    assert abs(msg.get("f") - 1e-4) < 1e-12
+
+
+def test_shipped_config_parses():
+    pipeline = load_pipeline_config(CONFIG)
+    fact = pipeline.multi_modal_model.fact_model
+    assert fact is not None
+    assert pipeline.multi_modal_model.which() == "fact_model"
+
+    audio = fact.modality_by_name("audio")
+    motion = fact.modality_by_name("motion")
+    assert audio.sequence_length == 240
+    assert motion.sequence_length == 120
+    assert motion.feature_dim == 225
+
+    audio_tf = audio.model[0].transformer
+    assert audio_tf.num_attention_heads == 10
+    assert audio_tf.hidden_size == 800
+    assert audio_tf.num_hidden_layers == 2
+    # Proto defaults apply for unset fields.
+    assert audio_tf.intermediate_size == 3072
+    assert audio_tf.initializer_range == 0.02
+
+    cm = fact.cross_modal_model
+    assert cm.modality_a == "motion" and cm.modality_b == "audio"
+    assert cm.transformer.num_hidden_layers == 12
+    assert cm.output_layer.out_dim == 225
+    assert cm.cross_modal_concat_dim == "SEQUENCE_WISE"
+
+    tc = pipeline.train_config
+    assert tc.batch_size == 32
+    lr = tc.learning_rate
+    assert lr.which() == "manual_step_learning_rate"
+    ms = lr.manual_step_learning_rate
+    assert abs(ms.initial_learning_rate - 1e-4) < 1e-12
+    assert [s.step for s in ms.schedule] == [100000, 150000]
+    assert abs(ms.schedule[0].learning_rate - 1e-5) < 1e-12
+
+    assert pipeline.eval_config.batch_size == 1
+
+    ds = pipeline.train_dataset
+    assert ds.input_length_sec == 120.0
+    assert ds.target_length_sec == 20
+    assert ds.target_shift_sec == 120
+    assert ds.data_augmentation_options == ["fact_preprocessor"]
+    mods = {m.general_modality.feature_name: m.general_modality
+            for m in ds.modality}
+    assert mods["motion"].dimension == 219
+    assert mods["motion"].sample_rate == 1
+    assert mods["audio"].dimension == 35
+    assert mods["audio"].sample_rate == 2
+
+
+def test_reference_config_parses_identically():
+    """The upstream shipped config must parse unchanged (drop-in compat)."""
+    ref = "/root/reference/configs/fact_v5_deeper_t10_cm12.config"
+    if not os.path.exists(ref):
+        import pytest
+        pytest.skip("reference config not available")
+    ours = load_pipeline_config(CONFIG)
+    theirs = load_pipeline_config(ref)
+    assert configs_dict(ours).keys() == configs_dict(theirs).keys()
+    assert ours == theirs
+
+
+def test_config_override():
+    pipeline = load_pipeline_config(
+        CONFIG, config_override="train_config: { batch_size: 8 }")
+    assert pipeline.train_config.batch_size == 8
+
+
+def test_dumps_roundtrip():
+    msg = textproto.parse_file(CONFIG)
+    text = textproto.dumps(msg)
+    msg2 = textproto.parse(text)
+    assert msg.to_dict() == msg2.to_dict()
