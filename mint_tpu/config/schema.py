@@ -259,6 +259,25 @@ class PipelineConfig:
     eval_dataset: DatasetConfig = field(default_factory=DatasetConfig)
 
 
+# Configs are fields of Flax modules, which jit treats as static arguments —
+# so they must be hashable.  Dataclasses with eq=True set __hash__ to None;
+# restore a content-based hash (consistent with __eq__, both derive from the
+# field values via repr).  Configs must not be mutated after model build.
+def _repr_hash(self) -> int:
+    return hash(repr(self))
+
+
+for _cls in (TransformerConfig, MLPConfig, ModalityModelConfig,
+             ModalityConfig, CrossModalModelConfig, FACTModelConfig,
+             MultiModalModelConfig, GeneralModalityConfig,
+             DataModalityConfig, DatasetConfig, ConstantLearningRate,
+             ExponentialDecayLearningRate, ManualStepSchedule,
+             ManualStepLearningRate, CosineDecayLearningRate,
+             LearningRateConfig, TrainConfig, MotionGenerationMetrics,
+             EvalConfig, PipelineConfig):
+    _cls.__hash__ = _repr_hash
+
+
 # ---------------------------------------------------------------------------
 # Msg -> dataclass mapping
 # ---------------------------------------------------------------------------

@@ -46,9 +46,6 @@ class FACT(nn.Module):
                 "cross_modal_concat_dim %s is not supported."
                 % cm.cross_modal_concat_dim)
 
-        self.motion_seq_length = motion_cfg.sequence_length
-        self.audio_seq_length = audio_cfg.sequence_length
-
         kw = dict(use_pallas=self.use_pallas,
                   compute_dtype=self.compute_dtype)
         self.motion_linear_embedding = layers.LinearEmbedding(
@@ -82,6 +79,14 @@ class FACT(nn.Module):
             intermediate_size=cm.transformer.intermediate_size,
             out_dim=cm.output_layer.out_dim,
             output_initializer_range=cm.output_layer.initializer_range, **kw)
+
+    @property
+    def motion_seq_length(self) -> int:
+        return self.config.modality_by_name("motion").sequence_length
+
+    @property
+    def audio_seq_length(self) -> int:
+        return self.config.modality_by_name("audio").sequence_length
 
     def encode_motion(self, motion_input: jax.Array) -> jax.Array:
         """[B, motion_seq, motion_dim] -> [B, motion_seq, hidden]."""

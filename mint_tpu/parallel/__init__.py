@@ -1,0 +1,9 @@
+from mint_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    param_spec,
+    params_shardings,
+    replicated,
+)

@@ -1,0 +1,85 @@
+"""Device mesh and sharding rules.
+
+The reference distributes purely data-parallel through TF strategies
+(``trainer.py:125-135``, implicit all-reduce in ``apply_gradients``).  The
+TPU-native equivalent is a 2-D ``jax.sharding.Mesh`` with axes:
+
+- ``data``  — batch (data-parallel); gradients all-reduce over ICI.
+- ``model`` — tensor-parallel: attention heads / MLP hidden dim sharded;
+  XLA inserts the all-reduces implied by the sharding constraints
+  (the scaling-book recipe: annotate, let the compiler place collectives).
+
+FACT at 800 hidden doesn't *need* TP for parity — ``make_mesh(n, 1)``
+reproduces the reference's pure-DP layout — but the rules generalize the
+framework to larger configs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices=None) -> Mesh:
+    """Create a (data, model) mesh over `devices` (default: all)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+# Parameter partition rules, matched against the '/'-joined flax param path.
+# Kernels are [in_dim, out_dim] (Keras layout).
+_PARAM_RULES = (
+    # Fused QKV projection: shard heads (output dim).
+    (re.compile(r"attn/to_qkv/kernel$"), P(None, MODEL_AXIS)),
+    # Attention output projection: shard input (head) dim.
+    (re.compile(r"attn/to_out/kernel$"), P(MODEL_AXIS, None)),
+    # MLP: shard the intermediate dim.
+    (re.compile(r"mlp/fc1/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r"mlp/fc1/bias$"), P(MODEL_AXIS)),
+    (re.compile(r"mlp/fc2/kernel$"), P(MODEL_AXIS, None)),
+)
+
+
+def param_spec(path: str) -> P:
+    """PartitionSpec for one parameter, by its flax path."""
+    for rule, spec in _PARAM_RULES:
+        if rule.search(path):
+            return spec
+    return P()  # replicate
+
+
+def params_shardings(params, mesh: Mesh):
+    """NamedSharding pytree matching `params` (flax FrozenDict or dict)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(getattr(k, "key", str(k)) for k in kp)
+
+    specs = {path_str(kp): param_spec(path_str(kp)) for kp, _ in flat}
+
+    def to_sharding(kp, _leaf):
+        return NamedSharding(mesh, specs[path_str(kp)])
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over the data axis, replicated over model."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,69 @@
+"""Checkpointing via Orbax (reference: tf.train.CheckpointManager usage,
+trainer.py:168-173 — save every 1000 steps, keep 5; evaluator restores and
+polls the directory).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax CheckpointManager for TrainState pytrees."""
+
+    def __init__(self, directory: str, save_interval_steps: int = 1000,
+                 max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            save_interval_steps=save_interval_steps,
+            max_to_keep=max_to_keep,
+            enable_async_checkpointing=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any, force: bool = False) -> bool:
+        if step in self._mgr.all_steps():
+            return False  # already saved (e.g. force-save after interval)
+        return self._mgr.save(step, args=ocp.args.StandardSave(state),
+                              force=force)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure/shardings of `state_template`."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        target = jax.tree_util.tree_map(
+            lambda x: ocp.utils.to_shape_dtype_struct(x), state_template)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def wait_until_finished(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+    def checkpoints_iterator(self, timeout: float,
+                             poll_seconds: float = 10.0):
+        """Yield new checkpoint steps as they appear (evaluator-side;
+        reference `evaluate_continuously(timeout=...)`, evaluator.py:71)."""
+        seen = set()
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            self._mgr.reload()
+            steps = [s for s in self._mgr.all_steps() if s not in seen]
+            for s in sorted(steps):
+                seen.add(s)
+                deadline = time.time() + timeout
+                yield s
+            if not steps:
+                time.sleep(poll_seconds)

@@ -1,0 +1,110 @@
+"""The training/eval controller — the Orbit equivalent.
+
+Reconstructs the controller contract the reference relies on (see
+trainer.py:164-178 / evaluator.py:62-71 and the orbit.Controller use sites):
+
+- ``train(num_steps)`` — runs train steps in loops of ``steps_per_loop``,
+  writing summaries every ``summary_interval`` steps and checkpointing on
+  the manager's interval.
+- ``evaluate()`` — one pass of the evaluator over its dataset.
+- ``evaluate_continuously(timeout)`` — watches the checkpoint directory,
+  restoring and evaluating each new checkpoint until `timeout` seconds pass
+  with no new one.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+
+from mint_tpu.train.checkpoint import CheckpointManager
+from mint_tpu.train.metrics_io import MetricsWriter
+from mint_tpu.train.trainer import Trainer, TrainState
+
+log = logging.getLogger(__name__)
+
+
+class Controller:
+    def __init__(self,
+                 trainer: Optional[Trainer] = None,
+                 train_iter: Optional[Iterator] = None,
+                 state: Optional[TrainState] = None,
+                 evaluator=None,
+                 steps_per_loop: int = 10,
+                 checkpoint_manager: Optional[CheckpointManager] = None,
+                 summary_dir: Optional[str] = None,
+                 summary_interval: int = 10):
+        self.trainer = trainer
+        self.train_iter = train_iter
+        self.state = state
+        self.evaluator = evaluator
+        self.steps_per_loop = steps_per_loop
+        self.checkpoint_manager = checkpoint_manager
+        self.summary_interval = summary_interval
+        self.metrics_writer = MetricsWriter(summary_dir)
+
+        # Resume from the latest checkpoint if one exists (Orbit restores on
+        # startup when a checkpoint manager is passed).
+        if checkpoint_manager is not None and state is not None:
+            if checkpoint_manager.latest_step() is not None:
+                self.state = checkpoint_manager.restore(state)
+                log.info("restored checkpoint at step %d",
+                         int(self.state.step))
+
+    @property
+    def global_step(self) -> int:
+        return int(self.state.step) if self.state is not None else 0
+
+    def train(self, num_steps: int) -> Dict[str, float]:
+        """Run `num_steps` training steps (relative, like orbit's train)."""
+        assert self.trainer is not None and self.train_iter is not None
+        metrics: Dict[str, float] = {}
+        done = 0
+        while done < num_steps:
+            loop = min(self.steps_per_loop, num_steps - done)
+            for _ in range(loop):
+                batch = next(self.train_iter)
+                self.state, step_metrics = self.trainer.train_step(
+                    self.state, batch)
+                done += 1
+            step = self.global_step
+            metrics = {k: float(v) for k, v in step_metrics.items()}
+            if self.summary_interval and step % self.summary_interval < loop:
+                self.metrics_writer.write(step, metrics)
+            if self.checkpoint_manager is not None:
+                self.checkpoint_manager.save(step, self.state)
+            log.info("step %d: %s", step, metrics)
+        return metrics
+
+    def evaluate(self) -> Dict[str, float]:
+        assert self.evaluator is not None
+        return self.evaluator.evaluate(self.state)
+
+    def evaluate_continuously(self, timeout: float = 70000,
+                              poll_seconds: float = 10.0
+                              ) -> Dict[str, float]:
+        """Evaluate every new checkpoint until none appears for `timeout`s."""
+        assert self.evaluator is not None
+        assert self.checkpoint_manager is not None
+        results: Dict[str, float] = {}
+        for step in self.checkpoint_manager.checkpoints_iterator(
+                timeout, poll_seconds):
+            self.state = self.checkpoint_manager.restore(self.state,
+                                                         step=step)
+            results = self.evaluator.evaluate(self.state)
+            self.metrics_writer.write(step, results)
+        return results
+
+    def save_checkpoint(self, force: bool = True) -> None:
+        if self.checkpoint_manager is not None:
+            self.checkpoint_manager.save(self.global_step, self.state,
+                                         force=force)
+            self.checkpoint_manager.wait_until_finished()
+
+    def close(self) -> None:
+        self.metrics_writer.close()
+        if self.checkpoint_manager is not None:
+            self.checkpoint_manager.close()

@@ -1,0 +1,135 @@
+"""Data-parallel training step (the reference SingleTaskTrainer, TPU-native).
+
+Reference semantics (mint/ctl/single_task_trainer.py:138-199):
+
+- pop the `target` off the batch, forward, mean L2 loss
+- the per-replica ``loss / num_replicas`` + summed gradients of the TF
+  version is numerically the plain global mean here — jit over a sharded
+  batch computes exactly ``mean(loss over global batch)`` with XLA inserting
+  the gradient all-reduce
+- optional clip-by-global-norm (trainer.py flag `grad_clip_norm`)
+- Adam with a schedule (trainer.py:149-150)
+- metrics: total_loss / loss / reg_loss / learning_rate
+  (single_task_trainer.py:190-196).  FACT has no regularization losses, so
+  reg_loss is identically 0.
+
+The whole update is one jit-compiled function over the (data, model) mesh;
+sharding annotations on params and batch drive XLA's collective placement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mint_tpu.models.fact import FACT, l2_loss
+from mint_tpu.parallel import mesh as mesh_lib
+from mint_tpu.train.schedules import Schedule
+
+
+class TrainState(NamedTuple):
+    step: jax.Array          # i32 scalar
+    params: Any
+    opt_state: Any
+
+
+class Trainer:
+    """Owns the optimizer, shardings, and the compiled train step."""
+
+    def __init__(self,
+                 model: FACT,
+                 learning_rate: Schedule,
+                 grad_clip_norm: float = 0.0,
+                 label_key: str = "target",
+                 loss_fn: Callable = l2_loss,
+                 mesh=None):
+        self.model = model
+        self.schedule = learning_rate
+        self.label_key = label_key
+        self.loss_fn = loss_fn
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+
+        tx = [optax.scale_by_adam()]
+        if grad_clip_norm and grad_clip_norm > 0.0:
+            tx.insert(0, optax.clip_by_global_norm(grad_clip_norm))
+        tx.append(optax.scale_by_learning_rate(learning_rate))
+        self.optimizer = optax.chain(*tx)
+
+        self._step_fn = None
+
+    def init_state(self, params) -> TrainState:
+        """Build a TrainState with params/opt state laid out on the mesh."""
+        shardings = mesh_lib.params_shardings(params, self.mesh)
+        params = jax.device_put(params, shardings)
+        # Sharding propagation gives Adam moments (zeros_like(param)) the
+        # param's layout; counters come out replicated.
+        opt_state = jax.jit(self.optimizer.init)(params)
+        # Scalars (clip/schedule counters) come out single-device; move every
+        # leaf not already laid out across the full mesh to replicated.
+        mesh_devices = set(self.mesh.devices.flat)
+
+        def ensure_on_mesh(leaf):
+            if set(leaf.sharding.device_set) != mesh_devices:
+                return jax.device_put(leaf, mesh_lib.replicated(self.mesh))
+            return leaf
+
+        opt_state = jax.tree_util.tree_map(ensure_on_mesh, opt_state)
+        step = jax.device_put(jnp.zeros((), jnp.int32),
+                              mesh_lib.replicated(self.mesh))
+        return TrainState(step=step, params=params, opt_state=opt_state)
+
+    def shard_batch(self, batch: Dict[str, jax.Array]):
+        sharding = mesh_lib.batch_sharding(self.mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
+
+    def _build_step(self, state: TrainState, batch):
+        model = self.model
+        optimizer = self.optimizer
+        schedule = self.schedule
+        label_key = self.label_key
+        loss_fn = self.loss_fn
+
+        def step_fn(state: TrainState, batch: Dict[str, jax.Array]
+                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+            batch = dict(batch)
+            target = batch.pop(label_key)
+
+            def compute_loss(params):
+                output = model.apply(params, batch)
+                return jnp.mean(loss_fn(target, output))
+
+            loss, grads = jax.value_and_grad(compute_loss)(state.params)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   opt_state=opt_state)
+            metrics = {
+                "total_loss": loss,
+                "loss": loss,
+                "reg_loss": jnp.zeros((), jnp.float32),
+                "learning_rate": schedule(state.step),
+            }
+            return new_state, metrics
+
+        state_shardings = jax.tree_util.tree_map(
+            lambda x: x.sharding, state)
+        batch_shardings = jax.tree_util.tree_map(
+            lambda x: mesh_lib.batch_sharding(self.mesh), batch)
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_shardings, batch_shardings),
+            out_shardings=(state_shardings, None),
+            donate_argnums=(0,),
+        )
+
+    def train_step(self, state: TrainState, batch
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if self._step_fn is None:
+            self._step_fn = self._build_step(state, batch)
+        return self._step_fn(state, batch)

@@ -1,0 +1,84 @@
+"""AR decoder tests: the lax.scan decoder must be protocol-exact vs the
+reference per-frame loop (mint/core/fact_model.py:103-132)."""
+
+import copy
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mint_tpu.config import load_pipeline_config
+from mint_tpu.infer import (
+    infer_auto_regressive,
+    infer_auto_regressive_reference,
+    max_steps,
+)
+from mint_tpu.models import build, init_params
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG = os.path.join(REPO, "configs", "fact_v5_deeper_t10_cm12.config")
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    """Tiny FACT: short windows so the Python-loop reference is cheap."""
+    cfg = copy.deepcopy(load_pipeline_config(CONFIG).multi_modal_model)
+    fact = cfg.fact_model
+    for mod in fact.modality:
+        tf = mod.model[0].transformer
+        tf.hidden_size = 32
+        tf.num_hidden_layers = 1
+        tf.num_attention_heads = 2
+        tf.intermediate_size = 64
+    fact.modality_by_name("motion").sequence_length = 12
+    fact.modality_by_name("motion").feature_dim = 225
+    fact.modality_by_name("audio").sequence_length = 24
+    cm = fact.cross_modal_model.transformer
+    cm.hidden_size = 32
+    cm.num_hidden_layers = 1
+    cm.num_attention_heads = 2
+    cm.intermediate_size = 64
+    model = build(cfg, is_training=False)
+    params = init_params(model, jax.random.PRNGKey(1), batch_size=2)
+    return model, params
+
+
+def test_scan_decoder_matches_reference_loop(tiny_model):
+    model, params = tiny_model
+    rng = np.random.RandomState(0)
+    steps = 10
+    b = 2
+    audio_len = steps + model.audio_seq_length - 1 + 3  # some slack
+    inputs = {
+        "motion_input": jnp.asarray(
+            rng.randn(b, model.motion_seq_length, 225) * 0.1, jnp.float32),
+        "audio_input": jnp.asarray(
+            rng.randn(b, audio_len, 35) * 0.1, jnp.float32),
+    }
+    ref = infer_auto_regressive_reference(model, params, inputs, steps=steps)
+    got = infer_auto_regressive(model, params, inputs, steps=steps)
+    assert got.shape == (b, steps, 225)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_max_steps_protocol(tiny_model):
+    model, _ = tiny_model
+    audio_seq = model.audio_seq_length
+    # Reference breaks when the audio window runs short.
+    assert max_steps(model, audio_len=audio_seq, requested=100) == 1
+    assert max_steps(model, audio_len=audio_seq + 9, requested=100) == 10
+    assert max_steps(model, audio_len=audio_seq + 999, requested=100) == 100
+    assert max_steps(model, audio_len=audio_seq - 1, requested=100) == 0
+
+
+def test_decoder_rejects_short_audio(tiny_model):
+    model, params = tiny_model
+    inputs = {
+        "motion_input": jnp.zeros((1, model.motion_seq_length, 225)),
+        "audio_input": jnp.zeros((1, model.audio_seq_length, 35)),
+    }
+    with pytest.raises(ValueError, match="audio too short"):
+        infer_auto_regressive(model, params, inputs, steps=5)

@@ -1,0 +1,158 @@
+"""Training-loop tests: convergence (reference single_task_trainer_test
+trains to loss/2), DP+TP mesh sharding, checkpoint save/resume."""
+
+import copy
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mint_tpu.config import load_pipeline_config
+from mint_tpu.models import build, init_params
+from mint_tpu.parallel import make_mesh, params_shardings, param_spec
+from mint_tpu.train import CheckpointManager, Controller, Trainer, schedules
+from jax.sharding import PartitionSpec as P
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG = os.path.join(REPO, "configs", "fact_v5_deeper_t10_cm12.config")
+
+
+def tiny_cfg(hidden=32, heads=2, inter=64):
+    cfg = copy.deepcopy(load_pipeline_config(CONFIG).multi_modal_model)
+    fact = cfg.fact_model
+    for mod in fact.modality:
+        tf = mod.model[0].transformer
+        tf.hidden_size = hidden
+        tf.num_hidden_layers = 1
+        tf.num_attention_heads = heads
+        tf.intermediate_size = inter
+    fact.modality_by_name("motion").sequence_length = 8
+    fact.modality_by_name("motion").feature_dim = 225
+    fact.modality_by_name("audio").sequence_length = 16
+    cm = fact.cross_modal_model.transformer
+    cm.hidden_size = hidden
+    cm.num_hidden_layers = 1
+    cm.num_attention_heads = heads
+    cm.intermediate_size = inter
+    return cfg
+
+
+def make_batch(rng, b, model):
+    return {
+        "motion_input": jnp.asarray(
+            rng.randn(b, model.motion_seq_length, 225) * 0.1, jnp.float32),
+        "audio_input": jnp.asarray(
+            rng.randn(b, model.audio_seq_length, 35) * 0.1, jnp.float32),
+        "target": jnp.asarray(rng.randn(b, 4, 225) * 0.1, jnp.float32),
+    }
+
+
+def run_overfit(mesh, steps=30):
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0), batch_size=1)
+    trainer = Trainer(model, schedules.constant(1e-3), grad_clip_norm=1.0,
+                      mesh=mesh)
+    state = trainer.init_state(params)
+    rng = np.random.RandomState(0)
+    batch = trainer.shard_batch(make_batch(rng, 8, model))
+    losses = []
+    for _ in range(steps):
+        state, metrics = trainer.train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+def test_overfit_single_batch_dp():
+    """Loss must drop by >2x on a fixed batch (cf. reference
+    single_task_trainer_test.py convergence check)."""
+    losses, state = run_overfit(make_mesh(8, 1))
+    assert losses[-1] < losses[0] / 2, losses
+    assert int(state.step) == 30
+
+
+def test_overfit_dp_tp_mesh_matches_dp():
+    """A 4x2 dp x tp mesh computes the same update math as pure DP."""
+    losses_dp, _ = run_overfit(make_mesh(8, 1), steps=10)
+    losses_tp, _ = run_overfit(make_mesh(4, 2), steps=10)
+    np.testing.assert_allclose(losses_dp, losses_tp, rtol=1e-4, atol=1e-6)
+
+
+def test_param_spec_rules():
+    assert param_spec("audio_transformer/block_0/attn/to_qkv/kernel") == \
+        P(None, "model")
+    assert param_spec("cross_modal_layer/transformer/block_3/mlp/fc1/kernel"
+                      ) == P(None, "model")
+    assert param_spec("motion_pos_embedding/pos_embedding") == P()
+    assert param_spec("attn/to_out/kernel") == P("model", None)
+
+
+def test_params_sharded_on_mesh():
+    mesh = make_mesh(4, 2)
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    shardings = params_shardings(params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    qkv = [s for kp, s in flat if "to_qkv" in str(kp) and "kernel" in str(kp)]
+    assert qkv and all(s.spec == P(None, "model") for s in qkv)
+
+
+def test_checkpoint_save_restore(tmp_path):
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+    rng = np.random.RandomState(1)
+    batch = trainer.shard_batch(make_batch(rng, 8, model))
+    for _ in range(3):
+        state, _ = trainer.train_step(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=1,
+                            max_to_keep=5)
+    assert mgr.save(int(state.step), state)
+    mgr.wait_until_finished()
+    assert mgr.latest_step() == 3
+
+    template = trainer.init_state(init_params(model, jax.random.PRNGKey(9)))
+    restored = mgr.restore(template)
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_controller_trains_and_checkpoints(tmp_path):
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+    rng = np.random.RandomState(2)
+    batch = trainer.shard_batch(make_batch(rng, 8, model))
+
+    def batches():
+        while True:
+            yield batch
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=10,
+                            max_to_keep=5)
+    ctl = Controller(trainer=trainer, train_iter=batches(), state=state,
+                     steps_per_loop=5, checkpoint_manager=mgr,
+                     summary_dir=str(tmp_path / "summaries"),
+                     summary_interval=5)
+    metrics = ctl.train(20)
+    assert ctl.global_step == 20
+    assert "loss" in metrics and "learning_rate" in metrics
+    ctl.save_checkpoint()
+    assert mgr.latest_step() == 20
+    assert (tmp_path / "summaries" / "metrics.jsonl").exists()
+
+    # Resume: a fresh controller restores from the checkpoint dir.
+    state2 = trainer.init_state(init_params(model, jax.random.PRNGKey(7)))
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=10)
+    ctl2 = Controller(trainer=trainer, train_iter=batches(), state=state2,
+                      checkpoint_manager=mgr2)
+    assert ctl2.global_step == 20
+    ctl.close()
+    ctl2.close()
