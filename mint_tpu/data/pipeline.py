@@ -1,0 +1,213 @@
+"""Input pipeline: TFRecord shards -> windowed, batched FACT examples.
+
+Host-side NumPy re-implementation of the reference input path
+(mint/core/inputs.py + mint/utils/inputs_util.py):
+
+- ``get_modality_to_param_dict`` — seconds x pseudo-sample-rate -> frame
+  counts (inputs_util.py:18-45)
+- ``fact_preprocessing`` — pad motion 219->225 with 6 leading zeros, sample
+  one random window per example (train) or start=0 with full-length audio
+  (eval) (inputs_util.py:59-105)
+- ``create_input`` — interleaved shard reading, shuffle(100).repeat() for
+  training, sequential single pass for eval, fixed-size batches with
+  drop_remainder, background prefetch (inputs.py:20-123)
+
+Batches are plain dicts of NumPy arrays; the trainer device_puts them with
+the mesh's batch sharding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mint_tpu.config.schema import DatasetConfig
+from mint_tpu.data import example as example_codec
+from mint_tpu.data import tfrecord
+
+
+def get_modality_to_param_dict(dataset_config: DatasetConfig) -> Dict:
+    """Map modality name -> window parameters (inputs_util.py:18-45)."""
+    out: Dict[str, Dict] = {}
+    for mod in dataset_config.modality:
+        if mod.which() != "general_modality":
+            raise ValueError(f"Unknown modality type: {mod.which()}")
+        gm = mod.general_modality
+        out[gm.feature_name] = {
+            "feature_dim": gm.dimension,
+            "input_length": int(dataset_config.input_length_sec
+                                * gm.sample_rate),
+            "target_length": int(dataset_config.target_length_sec
+                                 * gm.sample_rate),
+            "target_shift": int(dataset_config.target_shift_sec
+                                * gm.sample_rate),
+            "sample_rate": gm.sample_rate,
+            "resize": gm.resize,
+            "crop_size": gm.crop_size,
+        }
+    return out
+
+
+def parse_example(record: bytes) -> Dict[str, np.ndarray]:
+    """Decode one serialized Example into named sequences.
+
+    Output keys mirror the reference parse spec (inputs.py:44-55):
+    `{modality}_sequence` reshaped to `{modality}_sequence_shape`, plus
+    `{modality}_name` strings.
+    """
+    raw = example_codec.decode_example(record)
+    out: Dict[str, np.ndarray] = {}
+    for key, value in raw.items():
+        if key.endswith("_sequence"):
+            shape = raw.get(f"{key}_shape")
+            arr = np.asarray(value, dtype=np.float32)
+            if shape is not None:
+                arr = arr.reshape([int(s) for s in np.asarray(shape)])
+            out[key] = arr
+        elif key.endswith("_name"):
+            out[key] = value[0].decode("utf-8") if value else ""
+    return out
+
+
+def fact_preprocessing(example: Dict, modality_to_params: Dict,
+                       is_training: bool,
+                       rng: np.random.Generator) -> Dict:
+    """Window sampling for FACT (inputs_util.py:59-105), NumPy edition."""
+    motion = np.asarray(example["motion_sequence"], np.float32)
+    motion_seq_length = motion.shape[0]
+    motion_input_length = modality_to_params["motion"]["input_length"]
+    motion_target_length = modality_to_params["motion"]["target_length"]
+    motion_target_shift = modality_to_params["motion"]["target_shift"]
+    audio_input_length = modality_to_params["audio"]["input_length"]
+
+    # Pad the motion translation from 3-dim to 9-dim: 6 leading zeros.
+    motion = np.pad(motion, [[0, 0], [6, 0]])
+
+    if is_training:
+        window_size = max(motion_input_length,
+                          motion_target_shift + motion_target_length,
+                          audio_input_length)
+        hi = motion_seq_length - window_size + 1
+        if hi <= 0:
+            raise ValueError(
+                f"sequence too short: {motion_seq_length} < {window_size}")
+        start = int(rng.integers(0, hi))
+    else:
+        start = 0
+
+    out = {k: v for k, v in example.items()
+           if not k.endswith("_sequence")}
+    out["motion_input"] = motion[start:start + motion_input_length]
+    if is_training:
+        out["target"] = motion[start + motion_target_shift:
+                               start + motion_target_shift
+                               + motion_target_length]
+        audio = np.asarray(example["audio_sequence"], np.float32)
+        out["audio_input"] = audio[start:start + audio_input_length]
+    else:
+        out["audio_input"] = np.asarray(example["audio_sequence"],
+                                        np.float32)
+    return out
+
+
+def _batch(examples: List[Dict]) -> Dict[str, np.ndarray]:
+    keys = examples[0].keys()
+    out = {}
+    for k in keys:
+        vals = [e[k] for e in examples]
+        if isinstance(vals[0], str):
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = np.stack(vals)
+    return out
+
+
+class _Prefetcher:
+    """Background-thread prefetch (reference: ds.prefetch(1))."""
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._it = it
+        self._done = object()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self._it:
+                self._q.put(item)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
+def create_input(train_eval_config, dataset_config: DatasetConfig,
+                 is_training: bool = True, use_tpu: bool = True,
+                 seed: Optional[int] = None,
+                 data_files: Optional[Sequence[str]] = None,
+                 prefetch: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    """Batched input iterator (reference inputs.create_input, inputs.py:20).
+
+    Training: endless shuffled(100) windows, fixed batches, drop remainder.
+    Eval: one sequential pass; remainder kept unless use_tpu.
+    """
+    batch_size = train_eval_config.batch_size
+    files = (list(data_files) if data_files is not None
+             else tfrecord.glob(dataset_config.data_files))
+    if not files:
+        raise FileNotFoundError(
+            f"no input files match {dataset_config.data_files!r}")
+    modality_to_params = get_modality_to_param_dict(dataset_config)
+    use_fact = "fact_preprocessor" in dataset_config.data_augmentation_options
+    rng = np.random.default_rng(seed)
+    drop_remainder = use_tpu or is_training
+
+    def example_stream():
+        if is_training:
+            while True:  # .repeat()
+                order = rng.permutation(len(files))
+                # shuffle(100) over a round-robin interleave of the shards
+                buf: List[Dict] = []
+                for record in tfrecord.read_many([files[i] for i in order]):
+                    ex = parse_example(record)
+                    if use_fact:
+                        ex = fact_preprocessing(ex, modality_to_params,
+                                                True, rng)
+                    buf.append(ex)
+                    if len(buf) >= 100:
+                        idx = int(rng.integers(0, len(buf)))
+                        yield buf.pop(idx)
+                while buf:
+                    idx = int(rng.integers(0, len(buf)))
+                    yield buf.pop(idx)
+        else:
+            for record in tfrecord.read_many(files):
+                ex = parse_example(record)
+                if use_fact:
+                    ex = fact_preprocessing(ex, modality_to_params,
+                                            False, rng)
+                yield ex
+
+    def batches():
+        pending: List[Dict] = []
+        for ex in example_stream():
+            pending.append(ex)
+            if len(pending) == batch_size:
+                yield _batch(pending)
+                pending = []
+        if pending and not drop_remainder:
+            yield _batch(pending)
+
+    it = batches()
+    return _Prefetcher(it) if prefetch else it

@@ -1,0 +1,206 @@
+"""Data-path tests: TFRecord framing, Example wire format (validated against
+TensorFlow's own encoders when available), FACT windowing parity, batching.
+"""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from mint_tpu.config import load_pipeline_config
+from mint_tpu.data import (
+    TFRecordWriter,
+    create_input,
+    crc32c,
+    decode_example,
+    encode_example,
+    fact_preprocessing,
+    get_modality_to_param_dict,
+    parse_example,
+    read_records,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG = os.path.join(REPO, "configs", "fact_v5_deeper_t10_cm12.config")
+
+
+def test_crc32c_known_vectors():
+    # Standard CRC-32C test vectors.
+    assert crc32c(b"") == 0x0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"a") == 0xC1D04330
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    path = str(tmp_path / "test.tfrecord")
+    records = [b"hello", b"", b"x" * 1000]
+    with TFRecordWriter(path) as w:
+        for r in records:
+            w.write(r)
+    got = list(read_records(path, verify_crc=True))
+    assert got == records
+
+
+def test_tfrecord_tf_compat(tmp_path):
+    """Files we write must be readable by TensorFlow and vice versa."""
+    tf = pytest.importorskip("tensorflow")
+    ours = str(tmp_path / "ours.tfrecord")
+    with TFRecordWriter(ours) as w:
+        w.write(b"payload-1")
+        w.write(b"payload-2")
+    got = [bytes(r.numpy()) for r in tf.data.TFRecordDataset(ours)]
+    assert got == [b"payload-1", b"payload-2"]
+
+    theirs = str(tmp_path / "theirs.tfrecord")
+    with tf.io.TFRecordWriter(theirs) as w:
+        w.write(b"tf-payload")
+    assert list(read_records(theirs, verify_crc=True)) == [b"tf-payload"]
+
+
+def test_example_roundtrip():
+    feats = {
+        "motion_sequence": np.arange(12, dtype=np.float32).reshape(4, 3),
+        "motion_sequence_shape": np.array([4, 3], dtype=np.int64),
+        "motion_name": [b"seq_001"],
+        "neg_ints": np.array([-1, -2, 3], dtype=np.int64),
+    }
+    data = encode_example(feats)
+    out = decode_example(data)
+    np.testing.assert_allclose(out["motion_sequence"],
+                               feats["motion_sequence"].ravel())
+    np.testing.assert_array_equal(out["motion_sequence_shape"], [4, 3])
+    assert out["motion_name"] == [b"seq_001"]
+    np.testing.assert_array_equal(out["neg_ints"], [-1, -2, 3])
+
+
+def test_example_tf_compat():
+    """Our wire format must parse TF-encoded Examples and vice versa."""
+    tf = pytest.importorskip("tensorflow")
+    motion = np.random.RandomState(0).randn(5, 7).astype(np.float32)
+    tf_example = tf.train.Example(features=tf.train.Features(feature={
+        "motion_sequence": tf.train.Feature(
+            float_list=tf.train.FloatList(value=motion.flatten())),
+        "motion_sequence_shape": tf.train.Feature(
+            int64_list=tf.train.Int64List(value=motion.shape)),
+        "motion_name": tf.train.Feature(
+            bytes_list=tf.train.BytesList(value=[b"name_x"])),
+    }))
+    decoded = decode_example(tf_example.SerializeToString())
+    np.testing.assert_allclose(decoded["motion_sequence"], motion.ravel(),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(decoded["motion_sequence_shape"], [5, 7])
+    assert decoded["motion_name"] == [b"name_x"]
+
+    ours = encode_example({
+        "motion_sequence": motion,
+        "motion_sequence_shape": np.asarray(motion.shape, np.int64),
+        "motion_name": [b"name_x"],
+    })
+    parsed = tf.io.parse_single_example(ours, {
+        "motion_sequence": tf.io.VarLenFeature(tf.float32),
+        "motion_sequence_shape": tf.io.FixedLenFeature([2], tf.int64),
+        "motion_name": tf.io.FixedLenFeature([], tf.string),
+    })
+    np.testing.assert_allclose(
+        tf.sparse.to_dense(parsed["motion_sequence"]).numpy(),
+        motion.ravel(), rtol=1e-6)
+    assert parsed["motion_name"].numpy() == b"name_x"
+
+
+def _modality_params():
+    pipeline = load_pipeline_config(CONFIG)
+    return get_modality_to_param_dict(pipeline.train_dataset)
+
+
+def test_modality_param_dict():
+    """inputs_util_test.py:22-49: seconds x rate -> frames."""
+    params = _modality_params()
+    assert params["motion"]["input_length"] == 120
+    assert params["motion"]["target_length"] == 20
+    assert params["motion"]["target_shift"] == 120
+    assert params["audio"]["input_length"] == 240
+    assert params["motion"]["feature_dim"] == 219
+    assert params["audio"]["feature_dim"] == 35
+
+
+def _fake_sequence(t_motion=300, t_audio=600):
+    rng = np.random.RandomState(0)
+    return {
+        "motion_sequence": rng.randn(t_motion, 219).astype(np.float32),
+        "audio_sequence": rng.randn(t_audio, 35).astype(np.float32),
+        "motion_name": "gBR_sBM_c01",
+        "audio_name": "mBR0",
+    }
+
+
+def test_fact_preprocessing_train():
+    params = _modality_params()
+    ex = _fake_sequence()
+    rng = np.random.default_rng(0)
+    out = fact_preprocessing(ex, params, is_training=True, rng=rng)
+    assert out["motion_input"].shape == (120, 225)
+    assert out["target"].shape == (20, 225)
+    assert out["audio_input"].shape == (240, 35)
+    # 6 leading zero-pad columns on motion.
+    assert np.all(out["motion_input"][:, :6] == 0)
+    # Window alignment: target starts target_shift frames after input start.
+    motion_padded = np.pad(ex["motion_sequence"], [[0, 0], [6, 0]])
+    starts = np.where(
+        (motion_padded == out["motion_input"][0]).all(axis=1))[0]
+    assert len(starts) >= 1
+    s = starts[0]
+    np.testing.assert_array_equal(out["target"],
+                                  motion_padded[s + 120:s + 140])
+    np.testing.assert_array_equal(out["audio_input"],
+                                  ex["audio_sequence"][s:s + 240])
+
+
+def test_fact_preprocessing_eval_keeps_full_audio():
+    params = _modality_params()
+    ex = _fake_sequence()
+    out = fact_preprocessing(ex, params, is_training=False,
+                             rng=np.random.default_rng(0))
+    assert out["motion_input"].shape == (120, 225)
+    assert out["audio_input"].shape == (600, 35)  # full length
+    assert "target" not in out
+    np.testing.assert_array_equal(
+        out["motion_input"][:, 6:], ex["motion_sequence"][:120])
+
+
+def test_create_input_end_to_end(tmp_path):
+    """Write shards, read them back through the full pipeline."""
+    import dataclasses
+    pipeline = load_pipeline_config(CONFIG)
+    ds_cfg = copy.deepcopy(pipeline.train_dataset)
+    ds_cfg.data_files = str(tmp_path / "shard-*")
+
+    for shard in range(2):
+        with TFRecordWriter(str(tmp_path / f"shard-{shard}")) as w:
+            for i in range(6):
+                ex = _fake_sequence()
+                w.write(encode_example({
+                    "motion_sequence": ex["motion_sequence"],
+                    "motion_sequence_shape":
+                        np.asarray(ex["motion_sequence"].shape, np.int64),
+                    "motion_name": [ex["motion_name"].encode()],
+                    "audio_sequence": ex["audio_sequence"],
+                    "audio_sequence_shape":
+                        np.asarray(ex["audio_sequence"].shape, np.int64),
+                    "audio_name": [ex["audio_name"].encode()],
+                }))
+
+    tc = copy.deepcopy(pipeline.train_config)
+    tc.batch_size = 4
+    it = create_input(tc, ds_cfg, is_training=True, seed=0, prefetch=False)
+    batch = next(iter(it))
+    assert batch["motion_input"].shape == (4, 120, 225)
+    assert batch["target"].shape == (4, 20, 225)
+    assert batch["audio_input"].shape == (4, 240, 35)
+
+    # Eval: single pass, full audio, batch 1 keeps remainder.
+    ec = copy.deepcopy(pipeline.eval_config)
+    eval_batches = list(create_input(ec, ds_cfg, is_training=False,
+                                     use_tpu=False, prefetch=False))
+    assert len(eval_batches) == 12
+    assert eval_batches[0]["audio_input"].shape == (1, 600, 35)
