@@ -1,0 +1,68 @@
+"""Headline benchmark: batched autoregressive dance generation throughput.
+
+Protocol (BASELINE.json config #4): 40 clips x 1200 generated frames with
+the flagship fact_v5_deeper_t10_cm12 model, sliding-window AR decode
+(protocol-identical to reference ``mint/core/fact_model.py:103-132``),
+compiled as one ``lax.scan`` and run on a single chip.
+
+Baseline anchor: the reference's decode is an eager Python loop on CPU, one
+full 360-token forward per frame, batch 1 (``evaluator.py:80`` forces eager;
+``mint/ctl/single_task_evaluator.py:69`` runs it).  Measured here via the
+same protocol (eager per-frame forward, batch 1, CPU f32, this host):
+0.53 frames/sec.  BASELINE.md's north star is >=50x that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_CPU_FRAMES_PER_SEC = 0.53  # measured, see module docstring
+
+BATCH = 40
+STEPS = 1200
+
+
+def main():
+    from mint_tpu.config.schema import load_pipeline_config
+    from mint_tpu.models.fact import FACT, init_params
+    from mint_tpu.infer.decoder import infer_auto_regressive
+
+    pipe = load_pipeline_config("configs/fact_v5_deeper_t10_cm12.config")
+    model = FACT(pipe.multi_modal_model.fact_model,
+                 compute_dtype=jnp.bfloat16)
+    params = init_params(model, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    inputs = {
+        "motion_input": jnp.asarray(
+            rng.standard_normal((BATCH, 120, 225)), jnp.float32),
+        "audio_input": jnp.asarray(
+            rng.standard_normal((BATCH, STEPS + 240, 35)), jnp.float32),
+    }
+
+    # Warm-up/compile (full host transfer so async dispatch can't lie).
+    out = infer_auto_regressive(model, params, inputs, steps=STEPS)
+    np.asarray(out)
+
+    t0 = time.perf_counter()
+    out = infer_auto_regressive(model, params, inputs, steps=STEPS)
+    out = np.asarray(out)
+    dt = time.perf_counter() - t0
+    assert out.shape == (BATCH, STEPS, 225) and np.isfinite(out).all()
+
+    fps = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "ar_generation_throughput",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / REFERENCE_CPU_FRAMES_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

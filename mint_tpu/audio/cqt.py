@@ -1,0 +1,249 @@
+"""Constant-Q transform, chroma, and CENS features.
+
+Implements the feature chain behind the reference's
+``librosa.feature.chroma_cens(data, sr, hop_length=512, n_chroma=12)`` call
+(reference ``tools/preprocessing.py:100-102``):
+
+1. tuning estimation from pitch-tracked STFT peaks (piptrack + histogram),
+2. a constant-Q transform (7 octaves x 36 bins from C1, Q-matched
+   Hann-windowed complex sinc kernels, L1-normalized, 1/sqrt(len) scaling),
+   computed with the Brown-Puckette frequency-domain kernel method: one big
+   rFFT per frame and a complex [frames, bins] projection matmul — the
+   single-resolution exact form of librosa's recursive-downsampling CQT,
+3. fold to 12 pitch classes (merge 3 adjacent bins, C-aligned),
+4. CENS: per-frame L1 normalize, 4-level quantization
+   ({0.05,0.1,0.2,0.4} thresholds, 0.25 weight each), length-43 Hann
+   smoothing, per-frame L2 normalize.
+
+The FFT + projection run as jitted XLA in frame chunks; kernel construction
+is NumPy at trace time.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mint_tpu.audio import device
+from mint_tpu.audio.spectral import hann_window, stft_magnitude
+
+C1_HZ = 32.70319566257483  # note_to_hz('C1')
+_TINY = np.finfo(np.float32).tiny
+
+
+# ---------------------------------------------------------------------------
+# Tuning estimation (librosa.estimate_tuning / piptrack / pitch_tuning)
+# ---------------------------------------------------------------------------
+
+
+def piptrack(y: np.ndarray, sr: int, n_fft: int = 2048,
+             hop: int = 512, fmin: float = 150.0, fmax: float = 4000.0,
+             threshold: float = 0.1) -> Tuple[np.ndarray, np.ndarray]:
+    """Parabolic-interpolation pitch tracking on STFT magnitude peaks.
+
+    Returns (pitches, mags), each [n_bins, frames].
+    """
+    with device.on_audio_device():
+        S = np.asarray(stft_magnitude(jnp.asarray(y), n_fft, hop)).T
+    fmax = min(fmax, sr / 2.0)
+
+    # Parabolic interpolation around each bin.
+    avg = np.zeros_like(S)
+    shift = np.zeros_like(S)
+    avg[1:-1] = 0.5 * (S[2:] - S[:-2])
+    shift[1:-1] = 2 * S[1:-1] - S[2:] - S[:-2]
+    shift = avg / (shift + (np.abs(shift) < _TINY))
+
+    pitches = np.zeros_like(S)
+    mags = np.zeros_like(S)
+    freq_bins = np.arange(S.shape[0])
+    ref = threshold * S.max(axis=0, keepdims=True)
+    # Local maxima along the frequency axis above the per-frame threshold.
+    bigger_prev = np.zeros_like(S, dtype=bool)
+    bigger_next = np.zeros_like(S, dtype=bool)
+    bigger_prev[1:] = S[1:] > S[:-1]
+    bigger_next[:-1] = S[:-1] >= S[1:]
+    localmax = bigger_prev & bigger_next
+    fft_freqs = np.linspace(0, sr / 2, S.shape[0])
+    in_range = ((fft_freqs >= fmin) & (fft_freqs <= fmax))[:, None]
+    idx = np.where(localmax & (S > ref) & in_range)
+    pitches[idx] = (freq_bins[idx[0]] + shift[idx]) * sr / n_fft
+    mags[idx] = S[idx] + 0.5 * avg[idx] * shift[idx]
+    return pitches, mags
+
+
+def pitch_tuning(frequencies: np.ndarray, resolution: float = 0.01,
+                 bins_per_octave: int = 12) -> float:
+    """Histogram-mode tuning deviation in fractional bins."""
+    frequencies = np.atleast_1d(frequencies)
+    frequencies = frequencies[frequencies > 0]
+    if not len(frequencies):
+        return 0.0
+    octs = np.log2(frequencies / (440.0 / 16))  # hz_to_octs
+    residual = np.mod(bins_per_octave * octs, 1.0)
+    residual[residual >= 0.5] -= 1.0
+    bins = np.linspace(-0.5, 0.5, int(np.ceil(1.0 / resolution)) + 1)
+    counts, edges = np.histogram(residual, bins)
+    return float(edges[np.argmax(counts)])
+
+
+def estimate_tuning(y: np.ndarray, sr: int, **kwargs) -> float:
+    pitches, mags = piptrack(y, sr, **kwargs)
+    mask = pitches > 0
+    threshold = np.median(mags[mask]) if mask.any() else 0.0
+    return pitch_tuning(pitches[(mags >= threshold) & mask])
+
+
+# ---------------------------------------------------------------------------
+# Constant-Q transform (Brown-Puckette kernel method, single resolution)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _cqt_kernels(sr: int, fmin: float, n_bins: int, bins_per_octave: int,
+                 filter_scale: float = 1.0) -> Tuple[np.ndarray, np.ndarray,
+                                                     int]:
+    """Frequency-domain CQT kernels.
+
+    Returns (fft_basis [n_bins, n_fft//2+1] complex64, lengths [n_bins],
+    n_fft).  Filters are L1-normalized Hann-windowed complex exponentials
+    scaled by length/n_fft (librosa's __cqt_filter_fft convention).
+    """
+    q = filter_scale / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    lengths = q * sr / freqs
+    max_len = int(max(lengths))
+    n_fft = 1 << int(math.ceil(math.log2(max_len)))
+
+    basis = np.zeros((n_bins, n_fft), np.complex128)
+    for k, (f, flen) in enumerate(zip(freqs, lengths)):
+        ilen = int(np.floor(flen))
+        if ilen % 2 == 0:  # centered placement wants matched parity handling
+            ilen -= 1
+        t = np.arange(-(ilen // 2), ilen - ilen // 2)
+        sig = np.exp(2j * np.pi * f * t / sr) * hann_window(ilen,
+                                                            fftbins=False)
+        sig /= np.sum(np.abs(sig))  # L1 norm
+        start = (n_fft - ilen) // 2
+        basis[k, start:start + ilen] = sig * (flen / n_fft)
+    fft_basis = np.fft.fft(basis, n_fft, axis=1)[:, :n_fft // 2 + 1]
+    return fft_basis.astype(np.complex64), lengths.astype(np.float32), n_fft
+
+
+def cqt_magnitude(y: np.ndarray, sr: int, hop: int = 512,
+                  fmin: float = C1_HZ, n_bins: int = 252,
+                  bins_per_octave: int = 36, tuning: float = 0.0,
+                  scale: bool = True, chunk: int = 512) -> np.ndarray:
+    """|CQT| -> [frames, n_bins]."""
+    fmin = fmin * 2.0 ** (tuning / bins_per_octave)
+    fft_basis, lengths, n_fft = _cqt_kernels(sr, fmin, n_bins,
+                                             bins_per_octave)
+    dev = device.audio_device()
+    br = jax.device_put(np.real(fft_basis).copy(), dev)
+    bi = jax.device_put(np.imag(fft_basis).copy(), dev)
+    # The centered-frame STFT is computed in one jit call; frame chunking
+    # happens inside XLA via the index gather, so memory stays bounded by
+    # the [frames, n_fft] gather (chunk long tracks at the signal level).
+    total = len(y)
+    n_frames = total // hop + 1
+    outs = []
+    step_frames = max(1, chunk)
+    for f0 in range(0, n_frames, step_frames):
+        f1 = min(n_frames, f0 + step_frames)
+        s0 = f0 * hop
+        s1 = (f1 - 1) * hop + 1
+        # Pass enough left/right context so interior chunks see the exact
+        # centered frames; reflect padding only applies at track edges.
+        lo = max(0, s0 - n_fft // 2)
+        hi = min(total, s1 + n_fft // 2)
+        seg = np.asarray(y[lo:hi], np.float32)
+        off0 = s0 - lo
+        pad_l = n_fft // 2 - off0
+        with device.on_audio_device():
+            out = _cqt_chunk(jnp.asarray(seg), br, bi, n_fft, hop, pad_l,
+                             f1 - f0)
+        outs.append(np.asarray(out))
+    C = np.concatenate(outs, axis=0)
+    if scale:
+        C = C / np.sqrt(lengths)[None, :]
+    return C
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop", "pad_l", "n_frames"))
+def _cqt_chunk(seg: jax.Array, br: jax.Array, bi: jax.Array, n_fft: int,
+               hop: int, pad_l: int, n_frames: int) -> jax.Array:
+    if pad_l > 0:
+        seg = jnp.concatenate([seg[1:pad_l + 1][::-1], seg])
+    need = (n_frames - 1) * hop + n_fft
+    if seg.shape[0] < need:
+        extra = need - seg.shape[0]
+        seg = jnp.concatenate([seg, seg[-extra - 1:-1][::-1]])
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    spec = jnp.fft.rfft(seg[idx], n_fft, axis=-1)
+    real = jnp.real(spec) @ br.T - jnp.imag(spec) @ bi.T
+    imag = jnp.real(spec) @ bi.T + jnp.imag(spec) @ br.T
+    return jnp.sqrt(real * real + imag * imag)
+
+
+# ---------------------------------------------------------------------------
+# Chroma + CENS
+# ---------------------------------------------------------------------------
+
+
+def _normalize(X: np.ndarray, norm: float, axis: int) -> np.ndarray:
+    """librosa.util.normalize: sub-threshold columns left unscaled."""
+    if norm == 1:
+        length = np.abs(X).sum(axis=axis, keepdims=True)
+    elif norm == 2:
+        length = np.sqrt((X * X).sum(axis=axis, keepdims=True))
+    else:
+        raise ValueError(norm)
+    length = np.where(length < _TINY, 1.0, length)
+    return X / length
+
+
+def chroma_cqt(y: np.ndarray, sr: int, hop: int = 512, n_chroma: int = 12,
+               n_octaves: int = 7, bins_per_octave: int = 36,
+               tuning: Optional[float] = None) -> np.ndarray:
+    """[frames, n_chroma] chroma from |CQT| (norm=None, like chroma_cens
+    uses it)."""
+    if tuning is None:
+        tuning = estimate_tuning(y, sr)
+    C = cqt_magnitude(y, sr, hop=hop, tuning=tuning,
+                      n_bins=n_octaves * bins_per_octave,
+                      bins_per_octave=bins_per_octave)
+    n_merge = bins_per_octave // n_chroma
+    # Fold: chroma c sums bins [c*n_merge, (c+1)*n_merge) of every octave.
+    C = C.reshape(C.shape[0], n_octaves, n_chroma, n_merge)
+    return C.sum(axis=(1, 3))
+
+
+def chroma_cens(y: np.ndarray, sr: int, hop: int = 512,
+                n_chroma: int = 12, win_len_smooth: int = 41,
+                tuning: Optional[float] = None) -> np.ndarray:
+    """CENS chroma [frames, n_chroma] (librosa.feature.chroma_cens)."""
+    chroma = chroma_cqt(y, sr, hop=hop, n_chroma=n_chroma, tuning=tuning)
+    chroma = _normalize(chroma, norm=1, axis=1)
+
+    steps = np.array([0.4, 0.2, 0.1, 0.05])
+    weights = np.array([0.25, 0.25, 0.25, 0.25])
+    quant = np.zeros_like(chroma)
+    for s, w in zip(steps, weights):
+        quant += w * (chroma > s)
+
+    win = hann_window(win_len_smooth + 2, fftbins=False)
+    win /= win.sum()
+    # convolve1d along time, zero-padded ('constant') boundaries.
+    pad = len(win) // 2
+    padded = np.pad(quant, ((pad, pad), (0, 0)))
+    out = np.empty_like(chroma)
+    for c in range(chroma.shape[1]):
+        out[:, c] = np.convolve(padded[:, c], win, mode="valid")[
+            :chroma.shape[0]]
+    return _normalize(out, norm=2, axis=1)

@@ -1,0 +1,182 @@
+"""Audio frontend tests: property tests on synthetic signals.
+
+librosa is not available in this image, so parity is checked structurally:
+filterbank/DCT identities, pitch-class detection on pure tones, click-track
+beat recovery at the seeded BPM, and the reference's 35-dim layout.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mint_tpu.audio import beat as beat_lib
+from mint_tpu.audio import cqt as cqt_lib
+from mint_tpu.audio import onset as onset_lib
+from mint_tpu.audio import resample as resample_lib
+from mint_tpu.audio import spectral
+from mint_tpu.audio import wav as wav_lib
+from mint_tpu.audio.frontend import (SR, HOP_LENGTH, extract_audio_features,
+                                     tempo_from_name)
+
+RNG = np.random.default_rng(0)
+
+
+def _tone(freq, dur, sr, amp=0.5):
+    t = np.arange(int(dur * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+class TestWav:
+    def test_pcm16_roundtrip(self, tmp_path):
+        import struct, wave
+        y = (_tone(440, 0.1, 16000) * 32767).astype(np.int16)
+        path = str(tmp_path / "t.wav")
+        with wave.open(path, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(y.tobytes())
+        x, sr = wav_lib.read_wav(path)
+        assert sr == 16000
+        np.testing.assert_allclose(x, y / 32768.0, atol=1e-6)
+
+    def test_stereo_mixdown(self, tmp_path):
+        import wave
+        l = (_tone(440, 0.05, 8000) * 10000).astype(np.int16)
+        r = (_tone(880, 0.05, 8000) * 10000).astype(np.int16)
+        inter = np.empty(2 * len(l), np.int16)
+        inter[0::2], inter[1::2] = l, r
+        path = str(tmp_path / "s.wav")
+        with wave.open(path, "wb") as w:
+            w.setnchannels(2); w.setsampwidth(2); w.setframerate(8000)
+            w.writeframes(inter.tobytes())
+        x, _ = wav_lib.read_wav(path)
+        np.testing.assert_allclose(x, (l + r) / 2.0 / 32768.0, atol=1e-6)
+
+
+class TestResample:
+    def test_preserves_tone_frequency(self):
+        # 440 Hz at 48 kHz -> 30720 Hz must stay 440 Hz.
+        y = _tone(440, 1.0, 48000)
+        z = resample_lib.resample(y, 48000, 30720)
+        assert len(z) == int(np.ceil(len(y) * 30720 / 48000))
+        spec = np.abs(np.fft.rfft(z * np.hanning(len(z))))
+        peak_hz = np.argmax(spec) * 30720 / len(z)
+        assert abs(peak_hz - 440) < 2.0
+
+    def test_amplitude_preserved(self):
+        y = _tone(1000, 0.5, 44100)
+        z = resample_lib.resample(y, 44100, 30720)
+        interior = z[1000:-1000]
+        assert abs(interior.max() - 0.5) < 0.01
+
+
+class TestSpectral:
+    def test_mel_filterbank_shape_and_coverage(self):
+        fb = spectral.mel_filterbank(SR, 2048, 128)
+        assert fb.shape == (128, 1025)
+        # Every mel band has some support; interior FFT bins are covered.
+        assert (fb.sum(axis=1) > 0).all()
+
+    def test_dct_orthonormal(self):
+        d = spectral.dct_matrix(128, 128)
+        np.testing.assert_allclose(d @ d.T, np.eye(128), atol=1e-4)
+
+    def test_mfcc_shape_and_frames(self):
+        y = _tone(440, 1.0, SR)
+        m = np.asarray(spectral.mfcc(jnp.asarray(y), SR, n_mfcc=20))
+        assert m.shape == (1 + len(y) // HOP_LENGTH, 20)
+
+    def test_onset_strength_spikes_at_click(self):
+        # Single loud click at 1.0 s in silence.
+        y = np.zeros(SR * 2, np.float32)
+        y[SR:SR + 256] = RNG.standard_normal(256).astype(np.float32)
+        env = np.asarray(spectral.onset_strength(jnp.asarray(y), SR))
+        assert env.shape[0] == 1 + len(y) // HOP_LENGTH
+        assert abs(int(np.argmax(env)) - 60) <= 2  # frame 60 == 1.0 s
+
+    def test_power_to_db_topdb_floor(self):
+        S = jnp.asarray([1.0, 1e-12])
+        db = np.asarray(spectral.power_to_db(S))
+        assert db[0] == 0.0
+        assert db[1] == pytest.approx(-80.0)
+
+
+class TestChroma:
+    def test_pure_tone_pitch_class(self):
+        # A4 = 440 Hz is pitch class 9 (C-aligned chroma).
+        y = _tone(440, 2.0, SR)
+        ch = cqt_lib.chroma_cens(y, SR, hop=HOP_LENGTH, tuning=0.0)
+        assert ch.shape[1] == 12
+        dominant = np.bincount(ch[20:-20].argmax(axis=1),
+                               minlength=12).argmax()
+        assert dominant == 9
+
+    def test_cens_rows_unit_norm(self):
+        y = _tone(261.63, 1.0, SR)  # C4
+        ch = cqt_lib.chroma_cens(y, SR, tuning=0.0)
+        norms = np.linalg.norm(ch, axis=1)
+        active = norms > 1e-6
+        np.testing.assert_allclose(norms[active], 1.0, atol=1e-5)
+
+    def test_tuning_estimate_centered_tone(self):
+        y = _tone(440, 1.0, SR)
+        tuning = cqt_lib.estimate_tuning(y, SR)
+        assert abs(tuning) <= 0.05
+
+    def test_tuning_estimate_detuned_tone(self):
+        # Quarter-semitone sharp A4: 440 * 2**(0.25/12).
+        y = _tone(440 * 2 ** (0.25 / 12), 1.0, SR)
+        tuning = cqt_lib.estimate_tuning(y, SR)
+        assert 0.15 <= tuning <= 0.35
+
+
+def _click_track(bpm, dur, sr):
+    y = np.zeros(int(dur * sr), np.float32)
+    period = int(round(60.0 * sr / bpm))
+    for s in range(0, len(y) - 256, period):
+        y[s:s + 128] += RNG.standard_normal(128).astype(np.float32)
+    return y
+
+
+class TestBeat:
+    def test_tempo_recovers_click_bpm(self):
+        y = _click_track(120, 10.0, SR)
+        env = np.asarray(spectral.onset_strength(jnp.asarray(y), SR))
+        bpm = beat_lib.tempo(env, SR, HOP_LENGTH, start_bpm=120)
+        assert abs(bpm - 120) < 3
+
+    def test_beat_track_interval_matches_bpm(self):
+        y = _click_track(100, 12.0, SR)
+        env = np.asarray(spectral.onset_strength(jnp.asarray(y), SR))
+        bpm, beats = beat_lib.beat_track(env, SR, HOP_LENGTH, start_bpm=100)
+        assert abs(bpm - 100) < 3
+        assert len(beats) >= 10
+        intervals = np.diff(beats)
+        expected = 60.0 * SR / (HOP_LENGTH * 100)  # 36 frames
+        assert abs(np.median(intervals) - expected) <= 1.5
+
+    def test_onset_detect_finds_clicks(self):
+        y = _click_track(60, 6.0, SR)  # clicks 1 s apart
+        env = np.asarray(spectral.onset_strength(jnp.asarray(y), SR))
+        peaks = onset_lib.onset_detect(env, SR, HOP_LENGTH)
+        assert 4 <= len(peaks) <= 8
+
+
+class TestFrontend:
+    def test_tempo_from_name(self):
+        assert tempo_from_name("mBR0") == 80
+        assert tempo_from_name("mBR5") == 130
+        assert tempo_from_name("mHO5") == 135
+        with pytest.raises(ValueError):
+            tempo_from_name("mXX0")
+
+    def test_feature_layout_35dim(self):
+        y = _click_track(120, 4.0, SR)
+        feats = extract_audio_features(y, SR, start_bpm=120)
+        assert feats.shape[1] == 35
+        assert feats.dtype == np.float32
+        # envelope col nonneg; one-hot cols binary.
+        assert (feats[:, 0] >= 0).all()
+        assert set(np.unique(feats[:, 33])) <= {0.0, 1.0}
+        assert set(np.unique(feats[:, 34])) <= {0.0, 1.0}
+        assert feats[:, 33].sum() > 0
+        assert feats[:, 34].sum() > 0
