@@ -1,0 +1,14 @@
+"""Command-line tools mirroring the reference entry points.
+
+- ``python -m mint_tpu.tools.preprocessing`` — AIST++ -> tfrecords
+  (reference ``tools/preprocessing.py``)
+- ``python -m mint_tpu.tools.train`` — training (reference ``trainer.py``)
+- ``python -m mint_tpu.tools.evaluate`` — continuous generation eval
+  (reference ``evaluator.py``)
+- ``python -m mint_tpu.tools.calculate_scores`` — FID scoring
+  (reference ``tools/calculate_scores.py``)
+- ``python -m mint_tpu.tools.extract_features`` — ground-truth features
+  (reference ``tools/extract_aist_features.py``)
+- ``python -m mint_tpu.tools.bvh_export`` — BVH export
+  (reference ``tools/bvh_writer.py``)
+"""

@@ -1,0 +1,80 @@
+"""Continuous generation-eval CLI (reference evaluator.py).
+
+Watches the model_dir for new checkpoints; for each one, autoregressively
+generates the eval set (batched lax.scan decode, vs the reference's eager
+batch-1 loop) and writes ``outputs/{motion_name}_{audio_name}.npy`` clips
+of shape [seed 120 + generated, 225] for offline FID scoring.
+"""
+
+from __future__ import annotations
+
+import os
+
+from absl import app, flags
+
+import jax
+
+from mint_tpu.config.schema import load_pipeline_config
+from mint_tpu.data import pipeline as data_pipeline
+from mint_tpu.eval.evaluator import Evaluator
+from mint_tpu.models import builder
+from mint_tpu.models.fact import init_params
+from mint_tpu.train.checkpoint import CheckpointManager
+from mint_tpu.train.controller import Controller
+from mint_tpu.train.trainer import TrainState
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("model_dir", None,
+                    "Directory to write training checkpoints and logs")
+flags.DEFINE_string("config_path", None, "Path to the config file.")
+flags.DEFINE_string("eval_prefix", "valid",
+                    "Prefix for evaluation summaries.")
+flags.DEFINE_string("output_dir", "outputs", "Where to save the results.")
+flags.DEFINE_integer("steps", 1200, "Frames to generate per clip.")
+flags.DEFINE_float("timeout", 70000,
+                   "Seconds to keep watching for new checkpoints.")
+# Unused flags kept for sweep compatibility (reference evaluator.py:36-41).
+flags.DEFINE_float("initial_learning_rate", 0.1, "UNUSED FLAG.")
+flags.DEFINE_float("weight_decay", None, "UNUSED FLAG.")
+
+
+class _EvalAdapter:
+    """Adapts Evaluator to the Controller's evaluator protocol."""
+
+    def __init__(self, evaluator: Evaluator):
+        self._evaluator = evaluator
+
+    def evaluate(self, state):
+        params = state.params if hasattr(state, "params") else state
+        return self._evaluator.evaluate(params)
+
+
+def evaluate():
+    pipeline = load_pipeline_config(FLAGS.config_path)
+    model = builder.build(pipeline.multi_modal_model, is_training=True)
+    metrics = []  # reference FACT.get_metrics returns [] (fact_model.py:138)
+
+    dataset = data_pipeline.create_input(
+        pipeline.eval_config, pipeline.eval_dataset, is_training=False,
+        use_tpu=False)
+    evaluator = Evaluator(model, dataset, metrics=metrics,
+                          output_dir=FLAGS.output_dir, steps=FLAGS.steps)
+
+    params = init_params(model, jax.random.PRNGKey(0))
+    state = TrainState(step=0, params=params, opt_state=None)
+    manager = CheckpointManager(FLAGS.model_dir, max_to_keep=5)
+    controller = Controller(
+        evaluator=_EvalAdapter(evaluator), state=state,
+        checkpoint_manager=manager,
+        summary_dir=os.path.join(FLAGS.model_dir, FLAGS.eval_prefix))
+    controller.evaluate_continuously(timeout=FLAGS.timeout)
+
+
+def main(_):
+    flags.mark_flag_as_required("config_path")
+    flags.mark_flag_as_required("model_dir")
+    evaluate()
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,0 +1,104 @@
+"""Training CLI (reference trainer.py).
+
+Builds the FACT model and a DP(xTP)-sharded jit train step over the device
+mesh, with the reference's controller semantics: steps_per_loop=10,
+checkpoint every 1000 steps (keep 5), summaries every 10 steps, and the
+flag surface of the reference (config_path/model_dir/steps/
+initial_learning_rate/warmup_steps/grad_clip_norm).  The reference's
+``train_strategy`` TPU/GPU switch is replaced by the mesh shape flags —
+data parallelism spans whatever devices JAX sees.
+"""
+
+from __future__ import annotations
+
+import os
+
+from absl import app, flags, logging
+
+import jax
+
+from mint_tpu.config.schema import load_pipeline_config
+from mint_tpu.data import pipeline as data_pipeline
+from mint_tpu.models import builder
+from mint_tpu.models.fact import init_params
+from mint_tpu.parallel import mesh as mesh_lib
+from mint_tpu.train import schedules
+from mint_tpu.train.checkpoint import CheckpointManager
+from mint_tpu.train.controller import Controller
+from mint_tpu.train.trainer import Trainer
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("config_path", None, "Path to the config file.")
+flags.DEFINE_string("model_dir", None,
+                    "Directory to write training checkpoints and logs")
+flags.DEFINE_float("initial_learning_rate", 0.1,
+                   "Initial learning rate for cosine decay schedule")
+flags.DEFINE_integer("steps", 2400000, "Number of training steps")
+flags.DEFINE_integer("warmup_steps", 1000,
+                     "Number of learning rate warmup steps")
+flags.DEFINE_float("grad_clip_norm", 0.0, "Clip gradients by norm.")
+flags.DEFINE_integer("data_parallelism", 0,
+                     "Data-parallel mesh axis (0 = all devices / tp).")
+flags.DEFINE_integer("tensor_parallelism", 1, "Tensor-parallel mesh axis.")
+flags.DEFINE_integer("steps_per_loop", 10, "Steps per controller loop.")
+flags.DEFINE_integer("checkpoint_interval", 1000,
+                     "Steps between checkpoints.")
+flags.DEFINE_integer("summary_interval", 10, "Steps between summaries.")
+flags.DEFINE_bool("use_bfloat16", False,
+                  "Run forward/backward compute in bfloat16.")
+
+
+def train():
+    pipeline = load_pipeline_config(FLAGS.config_path)
+    train_config = pipeline.train_config
+
+    mesh = mesh_lib.make_mesh(
+        data=FLAGS.data_parallelism or None,
+        model=FLAGS.tensor_parallelism)
+    logging.info("mesh: %s over %d devices", mesh.shape,
+                 len(jax.devices()))
+
+    import jax.numpy as jnp
+    use_bf16 = FLAGS.use_bfloat16 or train_config.use_bfloat16
+    model = builder.build(
+        pipeline.multi_modal_model, is_training=True,
+        compute_dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
+    schedule = schedules.from_config(
+        train_config.learning_rate,
+        initial_learning_rate=FLAGS.initial_learning_rate,
+        warmup_steps=FLAGS.warmup_steps)
+    trainer = Trainer(model, schedule,
+                      grad_clip_norm=FLAGS.grad_clip_norm, mesh=mesh)
+    params = init_params(model, jax.random.PRNGKey(0))
+    state = trainer.init_state(params)
+
+    data_iter = data_pipeline.create_input(
+        train_config, pipeline.train_dataset, is_training=True)
+    sharded_iter = (trainer.shard_batch(b) for b in data_iter)
+
+    manager = CheckpointManager(
+        FLAGS.model_dir, save_interval_steps=FLAGS.checkpoint_interval,
+        max_to_keep=5)
+    controller = Controller(
+        trainer=trainer, train_iter=sharded_iter, state=state,
+        steps_per_loop=FLAGS.steps_per_loop,
+        checkpoint_manager=manager,
+        summary_dir=os.path.join(FLAGS.model_dir, "train"),
+        summary_interval=FLAGS.summary_interval)
+
+    # Reference runs a single step first to bring everything up, then the
+    # rest (trainer.py:177-178).
+    controller.train(1)
+    controller.train(FLAGS.steps - 1)
+    controller.save_checkpoint()
+    controller.close()
+
+
+def main(_):
+    flags.mark_flag_as_required("config_path")
+    flags.mark_flag_as_required("model_dir")
+    train()
+
+
+if __name__ == "__main__":
+    app.run(main)

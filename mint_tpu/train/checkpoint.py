@@ -46,6 +46,17 @@ class CheckpointManager:
             lambda x: ocp.utils.to_shape_dtype_struct(x), state_template)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore without a template -> dict of the saved state fields
+        (e.g. {'step', 'params', 'opt_state'}).  Used by the evaluator,
+        which has no optimizer state to mirror (reference evaluator.py:64-67
+        restores model weights + global_step only)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self._mgr.restore(step)
+
     def wait_until_finished(self) -> None:
         self._mgr.wait_until_finished()
 

@@ -50,9 +50,19 @@ class Controller:
         # startup when a checkpoint manager is passed).
         if checkpoint_manager is not None and state is not None:
             if checkpoint_manager.latest_step() is not None:
-                self.state = checkpoint_manager.restore(state)
+                self.state = self._restore(state)
                 log.info("restored checkpoint at step %d",
                          int(self.state.step))
+
+    def _restore(self, template: TrainState,
+                 step: Optional[int] = None) -> TrainState:
+        """Full restore for training; params-only (raw) restore when the
+        template has no optimizer state (the evaluator side)."""
+        if getattr(template, "opt_state", None) is None:
+            raw = self.checkpoint_manager.restore_raw(step)
+            return TrainState(step=raw.get("step", 0),
+                              params=raw["params"], opt_state=None)
+        return self.checkpoint_manager.restore(template, step=step)
 
     @property
     def global_step(self) -> int:
@@ -92,8 +102,7 @@ class Controller:
         results: Dict[str, float] = {}
         for step in self.checkpoint_manager.checkpoints_iterator(
                 timeout, poll_seconds):
-            self.state = self.checkpoint_manager.restore(self.state,
-                                                         step=step)
+            self.state = self._restore(self.state, step=step)
             results = self.evaluator.evaluate(self.state)
             self.metrics_writer.write(step, results)
         return results

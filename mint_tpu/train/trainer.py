@@ -83,9 +83,20 @@ class Trainer:
         return TrainState(step=step, params=params, opt_state=opt_state)
 
     def shard_batch(self, batch: Dict[str, jax.Array]):
+        """Device-put numeric features across the data axis.
+
+        Non-numeric fields (clip/music name strings kept by the input
+        pipeline for eval parity) are dropped — the train step consumes
+        only tensors (reference single_task_trainer.py:141-155).
+        """
+        import numpy as np
         sharding = mesh_lib.batch_sharding(self.mesh)
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), batch)
+        out = {}
+        for key, value in batch.items():
+            arr = np.asarray(value)
+            if arr.dtype.kind in "fiub":
+                out[key] = jax.device_put(arr, sharding)
+        return out
 
     def _build_step(self, state: TrainState, batch):
         model = self.model
