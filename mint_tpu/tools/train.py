@@ -46,6 +46,37 @@ flags.DEFINE_integer("checkpoint_interval", 1000,
 flags.DEFINE_integer("summary_interval", 10, "Steps between summaries.")
 flags.DEFINE_bool("use_bfloat16", False,
                   "Run forward/backward compute in bfloat16.")
+flags.DEFINE_enum("input_backend", "auto", ["auto", "native", "python"],
+                  "Training input pipeline: the C++ reader thread "
+                  "(native/mint_loader.cc) or the NumPy pipeline.")
+
+
+def _make_input(train_config, dataset_config):
+    """Training batches: native C++ loader when available, else Python."""
+    backend = FLAGS.input_backend
+    if backend in ("auto", "native"):
+        from mint_tpu.data import native_loader, tfrecord
+        if native_loader.available():
+            params = data_pipeline.get_modality_to_param_dict(
+                dataset_config)
+            files = tfrecord.glob(dataset_config.data_files)
+            logging.info("using native input loader (%d shards)",
+                         len(files))
+            return native_loader.NativeTrainLoader(
+                files, batch_size=train_config.batch_size,
+                motion_input_len=params["motion"]["input_length"],
+                target_len=params["motion"]["target_length"],
+                target_shift=params["motion"]["target_shift"],
+                audio_input_len=params["audio"]["input_length"],
+                motion_dim_raw=params["motion"]["feature_dim"],
+                audio_dim=params["audio"]["feature_dim"])
+        if backend == "native":
+            raise RuntimeError(
+                f"native loader unavailable: {native_loader.build_error()}")
+        logging.warning("native loader unavailable (%s); Python pipeline",
+                        native_loader.build_error())
+    return data_pipeline.create_input(train_config, dataset_config,
+                                      is_training=True)
 
 
 def train():
@@ -72,8 +103,7 @@ def train():
     params = init_params(model, jax.random.PRNGKey(0))
     state = trainer.init_state(params)
 
-    data_iter = data_pipeline.create_input(
-        train_config, pipeline.train_dataset, is_training=True)
+    data_iter = _make_input(train_config, pipeline.train_dataset)
     sharded_iter = (trainer.shard_batch(b) for b in data_iter)
 
     manager = CheckpointManager(

@@ -70,8 +70,11 @@ class Controller:
 
     def train(self, num_steps: int) -> Dict[str, float]:
         """Run `num_steps` training steps (relative, like orbit's train)."""
+        from mint_tpu.utils.profiling import StepTimer
+
         assert self.trainer is not None and self.train_iter is not None
         metrics: Dict[str, float] = {}
+        timer = StepTimer()
         done = 0
         while done < num_steps:
             loop = min(self.steps_per_loop, num_steps - done)
@@ -79,9 +82,11 @@ class Controller:
                 batch = next(self.train_iter)
                 self.state, step_metrics = self.trainer.train_step(
                     self.state, batch)
+                timer.step()
                 done += 1
             step = self.global_step
             metrics = {k: float(v) for k, v in step_metrics.items()}
+            metrics.update(timer.metrics())
             if self.summary_interval and step % self.summary_interval < loop:
                 self.metrics_writer.write(step, metrics)
             if self.checkpoint_manager is not None:

@@ -1,0 +1,112 @@
+"""Native C++ data loader tests: CRC parity, windowing contract, shapes."""
+
+import numpy as np
+import pytest
+
+from mint_tpu.data import native_loader, tfrecord
+from mint_tpu.data.example import encode_example
+from mint_tpu.data.tfrecord import TFRecordWriter
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(),
+    reason=f"native loader unavailable: {native_loader.build_error()}")
+
+RNG = np.random.default_rng(21)
+
+
+def _write_shards(tmp_path, n_shards=2, per_shard=5, t_motion=40,
+                  t_audio=60):
+    files = []
+    for shard in range(n_shards):
+        path = str(tmp_path / f"shard-{shard}")
+        files.append(path)
+        with TFRecordWriter(path) as w:
+            for i in range(per_shard):
+                motion = RNG.standard_normal(
+                    (t_motion, 219)).astype(np.float32)
+                audio = RNG.standard_normal(
+                    (t_audio, 35)).astype(np.float32)
+                w.write(encode_example({
+                    "motion_sequence": motion.ravel(),
+                    "motion_sequence_shape":
+                        np.asarray(motion.shape, np.int64),
+                    "motion_name": [f"m{shard}_{i}".encode()],
+                    "audio_sequence": audio.ravel(),
+                    "audio_sequence_shape":
+                        np.asarray(audio.shape, np.int64),
+                    "audio_name": [f"a{shard}_{i}".encode()],
+                }))
+    return files
+
+
+def test_crc_parity_with_python():
+    for size in (0, 1, 7, 64, 1000):
+        data = bytes(RNG.integers(0, 256, size, dtype=np.uint8))
+        assert (native_loader.masked_crc32c(data)
+                == tfrecord.masked_crc32c(data))
+
+
+def test_batch_shapes_and_padding(tmp_path):
+    files = _write_shards(tmp_path)
+    ld = native_loader.NativeTrainLoader(
+        files, batch_size=4, motion_input_len=10, target_len=3,
+        target_shift=10, audio_input_len=20, seed=7)
+    batch = next(ld)
+    assert batch["motion_input"].shape == (4, 10, 225)
+    assert batch["target"].shape == (4, 3, 225)
+    assert batch["audio_input"].shape == (4, 20, 35)
+    # 6 leading zero-pad dims (inputs_util.py:70-73).
+    assert (batch["motion_input"][..., :6] == 0).all()
+    assert (batch["target"][..., :6] == 0).all()
+    assert np.abs(batch["motion_input"][..., 6:]).max() > 0
+    ld.close()
+
+
+def test_endless_and_randomized(tmp_path):
+    files = _write_shards(tmp_path, per_shard=3)
+    ld = native_loader.NativeTrainLoader(
+        files, batch_size=2, motion_input_len=10, target_len=3,
+        target_shift=10, audio_input_len=20, seed=1)
+    # More batches than examples: loader must repeat endlessly.
+    batches = [next(ld) for _ in range(20)]
+    ld.close()
+    # Random windows: not all batches identical.
+    assert any(not np.array_equal(batches[0]["motion_input"],
+                                  b["motion_input"]) for b in batches[1:])
+
+
+def test_window_values_come_from_source(tmp_path):
+    # Single example, deterministic content: every window must be a
+    # contiguous slice of the source motion.
+    t_motion = 30
+    motion = np.arange(t_motion, dtype=np.float32)[:, None].repeat(219, 1)
+    audio = np.arange(40, dtype=np.float32)[:, None].repeat(35, 1)
+    path = str(tmp_path / "one")
+    with TFRecordWriter(path) as w:
+        w.write(encode_example({
+            "motion_sequence": motion.ravel(),
+            "motion_sequence_shape": np.asarray(motion.shape, np.int64),
+            "audio_sequence": audio.ravel(),
+            "audio_sequence_shape": np.asarray(audio.shape, np.int64),
+        }))
+    ld = native_loader.NativeTrainLoader(
+        [path], batch_size=1, motion_input_len=8, target_len=4,
+        target_shift=8, audio_input_len=12, seed=3)
+    for _ in range(5):
+        b = next(ld)
+        start = int(b["motion_input"][0, 0, 6])
+        # Motion window is frames [start, start+8).
+        np.testing.assert_array_equal(
+            b["motion_input"][0, :, 6],
+            np.arange(start, start + 8, dtype=np.float32))
+        # Target is frames [start+8, start+12).
+        np.testing.assert_array_equal(
+            b["target"][0, :, 6],
+            np.arange(start + 8, start + 12, dtype=np.float32))
+        # Audio window aligns with the same start.
+        np.testing.assert_array_equal(
+            b["audio_input"][0, :, 0],
+            np.arange(start, start + 12, dtype=np.float32))
+        # Window start respects the max-window bound (<= 30-12=18).
+        assert 0 <= start <= 18
+    ld.close()
