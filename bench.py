@@ -15,11 +15,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent XLA compilation cache: the 1200-step decode scan is a large
+# program and its first compile dominates bench wall time; repeat runs on
+# the same host hit the cache.
+_CACHE_DIR = os.path.expanduser("~/.cache/jax_compilation")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_CPU_FRAMES_PER_SEC = 0.53  # measured, see module docstring
 

@@ -22,4 +22,8 @@ from mint_tpu.config.schema import (  # noqa: F401
     load_pipeline_config,
     pipeline_from_msg,
 )
+from mint_tpu.config.serialize import (  # noqa: F401
+    pipeline_to_text,
+    save_pipeline_config,
+)
 from mint_tpu.config import textproto  # noqa: F401

@@ -113,6 +113,19 @@ def fact_preprocessing(example: Dict, modality_to_params: Dict,
     return out
 
 
+def preprocess_labels(example: Dict, dataset_config: DatasetConfig) -> Dict:
+    """Multi-hot labels for classification targets
+    (inputs_util.py:48-56): pop `data_target_field`, one-hot to
+    `target_num_categories`, max over occurrences."""
+    target = np.asarray(example.pop(dataset_config.data_target_field),
+                        np.int64).reshape(-1)
+    one_hot = np.zeros((len(target), dataset_config.target_num_categories),
+                       np.float32)
+    one_hot[np.arange(len(target)), target] = 1.0
+    example["target"] = one_hot.max(axis=0)
+    return example
+
+
 def _batch(examples: List[Dict]) -> Dict[str, np.ndarray]:
     keys = examples[0].keys()
     out = {}
@@ -146,8 +159,11 @@ class _Prefetcher:
         return self
 
     def __next__(self):
+        if getattr(self, "_finished", False):
+            raise StopIteration
         item = self._q.get()
         if item is self._done:
+            self._finished = True  # stay exhausted on repeat iteration
             raise StopIteration
         return item
 

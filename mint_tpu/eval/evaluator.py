@@ -28,20 +28,31 @@ from mint_tpu.models.fact import FACT
 class Evaluator:
     """Batched AR-generation evaluator."""
 
-    def __init__(self, model: FACT, dataset: Iterable[Dict],
+    def __init__(self, model: FACT, dataset,
                  metrics: Sequence = (), output_dir: Optional[str] = None,
                  steps: int = 1200, decode_batch: int = 64):
+        """`dataset` is an iterable of batches, or a zero-arg callable
+        returning one (for continuous eval, which runs a pass per
+        checkpoint — reference re-iterates its tf.data.Dataset).  A plain
+        one-shot iterator is drained once and its examples cached."""
         self.model = model
         self.dataset = dataset
         self.metrics = list(metrics)
         self.output_dir = output_dir
         self.steps = steps
         self.decode_batch = decode_batch
+        self._cache: Optional[List[Dict]] = None
 
     def _examples(self) -> List[Dict]:
         """Flatten the (possibly batched) dataset into per-clip examples."""
+        if callable(self.dataset):
+            source = self.dataset()
+        elif self._cache is not None:
+            return self._cache
+        else:
+            source = self.dataset
         examples = []
-        for batch in self.dataset:
+        for batch in source:
             motion = np.asarray(batch["motion_input"])
             audio = np.asarray(batch["audio_input"])
             if motion.ndim == 2:  # unbatched example
@@ -62,6 +73,8 @@ class Evaluator:
                     "target": (np.asarray(batch["target"])[i]
                                if "target" in batch else None),
                 })
+        if not callable(self.dataset):
+            self._cache = examples
         return examples
 
     def evaluate(self, params) -> Dict[str, float]:

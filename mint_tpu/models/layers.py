@@ -140,6 +140,30 @@ class Transformer(nn.Module):
         return x
 
 
+class PatchEmbedding(nn.Module):
+    """Image patch embedding (base_models.py:113-127; unused by FACT but
+    part of the modality-model surface): [B, H*p, W*p, C] -> patches ->
+    Dense(hidden)."""
+
+    hidden_size: int
+    patch_size: int
+    num_channel: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hp, wp, c = x.shape
+        p = self.patch_size
+        assert c == self.num_channel and hp % p == 0 and wp % p == 0
+        h, w = hp // p, wp // p
+        # b (h p1) (w p2) c -> b (h w) (p1 p2 c)
+        x = x.reshape(b, h, p, w, p, c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h * w,
+                                                         p * p * c)
+        return Dense(self.hidden_size, name="patch_embed_layer",
+                     dtype=self.compute_dtype)(x)
+
+
 class LinearEmbedding(nn.Module):
     """Linear input projection (base_models.py:130-138)."""
 

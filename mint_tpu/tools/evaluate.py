@@ -54,9 +54,13 @@ def evaluate():
     model = builder.build(pipeline.multi_modal_model, is_training=True)
     metrics = []  # reference FACT.get_metrics returns [] (fact_model.py:138)
 
-    dataset = data_pipeline.create_input(
-        pipeline.eval_config, pipeline.eval_dataset, is_training=False,
-        use_tpu=False)
+    # Factory: a fresh single-pass dataset per checkpoint evaluation
+    # (the reference re-iterates its tf.data.Dataset each eval).
+    def dataset():
+        return data_pipeline.create_input(
+            pipeline.eval_config, pipeline.eval_dataset, is_training=False,
+            use_tpu=False)
+
     evaluator = Evaluator(model, dataset, metrics=metrics,
                           output_dir=FLAGS.output_dir, steps=FLAGS.steps)
 

@@ -79,9 +79,21 @@ def _make_input(train_config, dataset_config):
                                       is_training=True)
 
 
+flags.DEFINE_bool("distributed", False,
+                  "Multi-host: call jax.distributed.initialize() so the "
+                  "mesh spans all hosts (DCN between hosts, ICI within; "
+                  "the reference's TPUClusterResolver equivalent).")
+
+
 def train():
+    if FLAGS.distributed:
+        jax.distributed.initialize()
     pipeline = load_pipeline_config(FLAGS.config_path)
     train_config = pipeline.train_config
+    # Snapshot the effective config into the model dir (reference
+    # config_util.save_pipeline_config, config_util.py:75-89).
+    from mint_tpu.config.serialize import save_pipeline_config
+    save_pipeline_config(pipeline, FLAGS.model_dir)
 
     mesh = mesh_lib.make_mesh(
         data=FLAGS.data_parallelism or None,

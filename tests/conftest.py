@@ -23,3 +23,8 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "integration: full-pipeline CLI tests (slower)")
