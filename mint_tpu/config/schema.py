@@ -58,17 +58,31 @@ class MLPConfig:
 
 
 @dataclass
+class Conv2DConfig:
+    """Reference: model.proto `Conv2D` (unused by FACT, schema parity)."""
+
+    initializer_range: float = 0.02
+    filters: int = 0
+    kernel_size: int = 1
+    strides: int = 1
+    hidden_act: str = "linear"
+
+
+@dataclass
 class ModalityModelConfig:
     """Reference: model.proto `ModalityModel` oneof {transformer, mlp}."""
 
     transformer: Optional[TransformerConfig] = None
     mlp: Optional[MLPConfig] = None
+    conv2d: Optional[Conv2DConfig] = None
 
     def which(self) -> Optional[str]:
         if self.transformer is not None:
             return "transformer"
         if self.mlp is not None:
             return "mlp"
+        if self.conv2d is not None:
+            return "conv2d"
         return None
 
 
@@ -267,7 +281,8 @@ def _repr_hash(self) -> int:
     return hash(repr(self))
 
 
-for _cls in (TransformerConfig, MLPConfig, ModalityModelConfig,
+for _cls in (TransformerConfig, MLPConfig, Conv2DConfig,
+             ModalityModelConfig,
              ModalityConfig, CrossModalModelConfig, FACTModelConfig,
              MultiModalModelConfig, GeneralModalityConfig,
              DataModalityConfig, DatasetConfig, ConstantLearningRate,
@@ -309,6 +324,8 @@ def _modality_model(msg: Msg) -> ModalityModelConfig:
         out.transformer = _transformer(msg.get("transformer"))
     elif "mlp" in msg:
         out.mlp = _mlp(msg.get("mlp"))
+    elif "conv2d" in msg:
+        out.conv2d = _fill(Conv2DConfig, msg.get("conv2d"))
     return out
 
 
