@@ -135,6 +135,40 @@ def _cqt_kernels(sr: int, fmin: float, n_bins: int, bins_per_octave: int,
     return fft_basis.astype(np.complex64), lengths.astype(np.float32), n_fft
 
 
+@functools.lru_cache(maxsize=8)
+def _cqt_band_groups(sr: int, fmin: float, n_bins: int,
+                     bins_per_octave: int,
+                     energy_keep: float = 0.9999) -> tuple:
+    """Band-limited projection blocks, one per octave.
+
+    Each CQT kernel's spectrum is concentrated around its center
+    frequency, so projecting the full rFFT against all 252 kernels wastes
+    >95% of the matmul.  Group kernels by octave and keep only the
+    contiguous frequency-bin range carrying `energy_keep` of every row's
+    L1 energy (librosa sparsifies its kernels the same way).
+
+    Returns ((row_lo, row_hi, col_lo, col_hi) ...) plus the dense basis —
+    see :func:`_cqt_kernels` for the basis itself.
+    """
+    fft_basis, _, n_fft = _cqt_kernels(sr, fmin, n_bins, bins_per_octave)
+    groups = []
+    for row_lo in range(0, n_bins, bins_per_octave):
+        row_hi = min(n_bins, row_lo + bins_per_octave)
+        block = np.abs(fft_basis[row_lo:row_hi])
+        col_lo, col_hi = 0, block.shape[1]
+        # Per-row L1-energy band, then the union across the octave.
+        lo, hi = block.shape[1], 0
+        for row in block:
+            order = np.argsort(row)[::-1]
+            csum = np.cumsum(row[order])
+            keep = order[:max(1, int(np.searchsorted(
+                csum, energy_keep * csum[-1])) + 1)]
+            lo = min(lo, int(keep.min()))
+            hi = max(hi, int(keep.max()) + 1)
+        groups.append((row_lo, row_hi, lo, hi))
+    return tuple(groups)
+
+
 def cqt_magnitude(y: np.ndarray, sr: int, hop: int = 512,
                   fmin: float = C1_HZ, n_bins: int = 252,
                   bins_per_octave: int = 36, tuning: float = 0.0,
@@ -143,9 +177,17 @@ def cqt_magnitude(y: np.ndarray, sr: int, hop: int = 512,
     fmin = fmin * 2.0 ** (tuning / bins_per_octave)
     fft_basis, lengths, n_fft = _cqt_kernels(sr, fmin, n_bins,
                                              bins_per_octave)
+    groups = _cqt_band_groups(sr, fmin, n_bins, bins_per_octave)
     dev = device.audio_device()
-    br = jax.device_put(np.real(fft_basis).copy(), dev)
-    bi = jax.device_put(np.imag(fft_basis).copy(), dev)
+    bands = tuple((col_lo, col_hi) for _, _, col_lo, col_hi in groups)
+    basis_r = tuple(
+        jax.device_put(np.real(fft_basis[row_lo:row_hi,
+                                         col_lo:col_hi]).copy(), dev)
+        for row_lo, row_hi, col_lo, col_hi in groups)
+    basis_i = tuple(
+        jax.device_put(np.imag(fft_basis[row_lo:row_hi,
+                                         col_lo:col_hi]).copy(), dev)
+        for row_lo, row_hi, col_lo, col_hi in groups)
     # The centered-frame STFT is computed in one jit call; frame chunking
     # happens inside XLA via the index gather, so memory stays bounded by
     # the [frames, n_fft] gather (chunk long tracks at the signal level).
@@ -165,8 +207,8 @@ def cqt_magnitude(y: np.ndarray, sr: int, hop: int = 512,
         off0 = s0 - lo
         pad_l = n_fft // 2 - off0
         with device.on_audio_device():
-            out = _cqt_chunk(jnp.asarray(seg), br, bi, n_fft, hop, pad_l,
-                             f1 - f0)
+            out = _cqt_chunk(jnp.asarray(seg), basis_r, basis_i, bands,
+                             n_fft, hop, pad_l, f1 - f0)
         outs.append(np.asarray(out))
     C = np.concatenate(outs, axis=0)
     if scale:
@@ -175,9 +217,12 @@ def cqt_magnitude(y: np.ndarray, sr: int, hop: int = 512,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_fft", "hop", "pad_l", "n_frames"))
-def _cqt_chunk(seg: jax.Array, br: jax.Array, bi: jax.Array, n_fft: int,
+                   static_argnames=("bands", "n_fft", "hop", "pad_l",
+                                    "n_frames"))
+def _cqt_chunk(seg: jax.Array, basis_r, basis_i, bands, n_fft: int,
                hop: int, pad_l: int, n_frames: int) -> jax.Array:
+    """rFFT the frames once, then one band-limited complex matmul per
+    octave block (bands from :func:`_cqt_band_groups`)."""
     if pad_l > 0:
         seg = jnp.concatenate([seg[1:pad_l + 1][::-1], seg])
     need = (n_frames - 1) * hop + n_fft
@@ -186,9 +231,14 @@ def _cqt_chunk(seg: jax.Array, br: jax.Array, bi: jax.Array, n_fft: int,
         seg = jnp.concatenate([seg, seg[-extra - 1:-1][::-1]])
     idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
     spec = jnp.fft.rfft(seg[idx], n_fft, axis=-1)
-    real = jnp.real(spec) @ br.T - jnp.imag(spec) @ bi.T
-    imag = jnp.real(spec) @ bi.T + jnp.imag(spec) @ br.T
-    return jnp.sqrt(real * real + imag * imag)
+    parts = []
+    for (col_lo, col_hi), br, bi in zip(bands, basis_r, basis_i):
+        sub = spec[:, col_lo:col_hi]
+        sr_, si_ = jnp.real(sub), jnp.imag(sub)
+        real = sr_ @ br.T - si_ @ bi.T
+        imag = sr_ @ bi.T + si_ @ br.T
+        parts.append(jnp.sqrt(real * real + imag * imag))
+    return jnp.concatenate(parts, axis=1)
 
 
 # ---------------------------------------------------------------------------

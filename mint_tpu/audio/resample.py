@@ -56,24 +56,21 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int,
     taps = _sinc_filter(up, down)
     half = (len(taps) - 1) // 2
 
-    # Polyphase evaluation on the virtual upsampled grid: output sample j
-    # sits at upsampled index j*down; its value is
-    # sum_k taps[j*down - k*up + half] * x[k].
+    # Output j sits at upsampled index j*down and is
+    #   sum_k taps[j*down - k*up + half] * x[k].
+    # scipy's C polyphase upfirdn computes y[n] = sum_k h[n*down - k*up]
+    # x[k]; left-pad the taps by z so the filter center lands on a
+    # multiple of `down`, then read every output at offset
+    # (half + z) / down.
+    from scipy.signal import upfirdn
+    z = (-half) % down
+    h = np.concatenate([np.zeros(z), taps])
+    y = upfirdn(h, x, up, down)
+    offset = (half + z) // down
     n_out = int(math.ceil(len(x) * up / down))
-    out = np.zeros(n_out, np.float64)
-    # For each output j: k ranges where |j*down - k*up| <= half.
-    j = np.arange(n_out)
-    center = j * down  # position on upsampled grid
-    k_lo = np.ceil((center - half) / up).astype(np.int64)
-    k_hi = np.floor((center + half) / up).astype(np.int64)
-    width = int((k_hi - k_lo).max()) + 1
-    k_idx = k_lo[:, None] + np.arange(width)[None, :]  # [n_out, width]
-    tap_idx = center[:, None] - k_idx * up + half
-    valid = ((k_idx >= 0) & (k_idx < len(x))
-             & (tap_idx >= 0) & (tap_idx < len(taps)))
-    xk = np.where(valid, x[np.clip(k_idx, 0, len(x) - 1)], 0.0)
-    tk = np.where(valid, taps[np.clip(tap_idx, 0, len(taps) - 1)], 0.0)
-    out = (xk * tk).sum(axis=1)
+    out = y[offset:offset + n_out]
+    if len(out) < n_out:  # tail beyond upfirdn's support -> zeros
+        out = np.pad(out, (0, n_out - len(out)))
     return out.astype(np.float32)
 
 
