@@ -19,7 +19,6 @@ Message schema (field numbers from tensorflow/core/example/):
 
 from __future__ import annotations
 
-import struct
 from typing import Dict, List, Union
 
 import numpy as np

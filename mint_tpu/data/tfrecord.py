@@ -20,7 +20,7 @@ from __future__ import annotations
 import glob as globlib
 import os
 import struct
-from typing import Iterable, Iterator, List, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import collections
 import os
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ Autoregressive generation lives in :mod:`mint_tpu.infer.decoder` as a
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ name mapping: every Dense kernel is stored [in_dim, out_dim] like Keras.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ below documents the contract, and :class:`FACTFamily` binds it for FACT.
 from __future__ import annotations
 
 import abc
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List
 
 import jax
 

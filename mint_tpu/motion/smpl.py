@@ -18,8 +18,6 @@ unpickler converts chumpy arrays without needing chumpy installed.
 from __future__ import annotations
 
 import functools
-import io
-import os
 import pickle
 from typing import NamedTuple, Optional
 

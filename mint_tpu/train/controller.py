@@ -15,10 +15,9 @@ trainer.py:164-178 / evaluator.py:62-71 and the orbit.Controller use sites):
 from __future__ import annotations
 
 import logging
-import time
-from typing import Callable, Dict, Iterator, Optional
 
-import jax
+from typing import Dict, Iterator, Optional
+
 
 from mint_tpu.train.checkpoint import CheckpointManager
 from mint_tpu.train.metrics_io import MetricsWriter

@@ -112,3 +112,13 @@ def test_dumps_roundtrip():
     text = textproto.dumps(msg)
     msg2 = textproto.parse(text)
     assert msg.to_dict() == msg2.to_dict()
+
+
+def test_serialize_roundtrip_shipped_config(tmp_path):
+    """save_pipeline_config -> load_pipeline_config is the identity on the
+    shipped flagship config (reference config_util.py:53-89 behavior)."""
+    from mint_tpu.config.serialize import save_pipeline_config
+    pipeline = load_pipeline_config(CONFIG)
+    path = save_pipeline_config(pipeline, str(tmp_path))
+    assert path.endswith("pipeline.config")
+    assert load_pipeline_config(path) == pipeline

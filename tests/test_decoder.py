@@ -82,3 +82,25 @@ def test_decoder_rejects_short_audio(tiny_model):
     }
     with pytest.raises(ValueError, match="audio too short"):
         infer_auto_regressive(model, params, inputs, steps=5)
+
+
+@pytest.mark.integration
+def test_scan_decoder_parity_flagship_config():
+    """Protocol-exactness on the FULL fact_v5_deeper_t10_cm12 shapes
+    (16 layers, 800 hidden, motion 120 + audio 240), f32, 3 AR steps."""
+    cfg = load_pipeline_config(CONFIG).multi_modal_model
+    model = build(cfg, is_training=False)
+    params = init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    steps, b = 3, 1
+    inputs = {
+        "motion_input": jnp.asarray(rng.randn(b, 120, 225) * 0.1,
+                                    jnp.float32),
+        "audio_input": jnp.asarray(
+            rng.randn(b, steps + 239, 35) * 0.1, jnp.float32),
+    }
+    ref = infer_auto_regressive_reference(model, params, inputs,
+                                          steps=steps)
+    got = infer_auto_regressive(model, params, inputs, steps=steps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
