@@ -18,6 +18,7 @@ import collections
 import os
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,17 +31,23 @@ class Evaluator:
 
     def __init__(self, model: FACT, dataset,
                  metrics: Sequence = (), output_dir: Optional[str] = None,
-                 steps: int = 1200, decode_batch: int = 64):
+                 steps: int = 1200, decode_batch: int = 64, mesh=None):
         """`dataset` is an iterable of batches, or a zero-arg callable
         returning one (for continuous eval, which runs a pass per
         checkpoint — reference re-iterates its tf.data.Dataset).  A plain
-        one-shot iterator is drained once and its examples cached."""
+        one-shot iterator is drained once and its examples cached.
+
+        With `mesh` (a jax.sharding.Mesh), decode batches are sharded over
+        the mesh's data axis — multi-chip generation; clip buckets are
+        padded to a multiple of the data-axis size and trimmed after.
+        """
         self.model = model
         self.dataset = dataset
         self.metrics = list(metrics)
         self.output_dir = output_dir
         self.steps = steps
         self.decode_batch = decode_batch
+        self.mesh = mesh
         self._cache: Optional[List[Dict]] = None
 
     def _examples(self) -> List[Dict]:
@@ -102,15 +109,31 @@ class Evaluator:
 
     def _run_bucket(self, params, bucket: List[Dict], n_steps: int) -> None:
         audio_len = n_steps + self.model.audio_seq_length - 1
-        motion = jnp.asarray(
-            np.stack([ex["motion_input"] for ex in bucket]))
-        audio = jnp.asarray(
-            np.stack([ex["audio_input"][:audio_len] for ex in bucket]))
+        motion = np.stack([ex["motion_input"] for ex in bucket])
+        audio = np.stack([ex["audio_input"][:audio_len] for ex in bucket])
+        n_real = len(bucket)
+        if self.mesh is not None:
+            from mint_tpu.parallel import mesh as mesh_lib
+            data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
+            pad = (-n_real) % data_size
+            if pad:  # repeat the last clip to fill the data axis
+                motion = np.concatenate(
+                    [motion, np.repeat(motion[-1:], pad, axis=0)])
+                audio = np.concatenate(
+                    [audio, np.repeat(audio[-1:], pad, axis=0)])
+            sharding = mesh_lib.batch_sharding(self.mesh)
+            motion = jax.device_put(motion, sharding)
+            audio = jax.device_put(audio, sharding)
+        else:
+            motion, audio = jnp.asarray(motion), jnp.asarray(audio)
         out = decoder.infer_auto_regressive(
             self.model, params,
             {"motion_input": motion, "audio_input": audio}, steps=n_steps)
-        # Prepend the seed (single_task_evaluator.py:71).
-        full = np.concatenate([np.asarray(motion), np.asarray(out)], axis=1)
+        # Prepend the seed (single_task_evaluator.py:71); drop pad clips.
+        full = np.concatenate([np.asarray(motion), np.asarray(out)],
+                              axis=1)[:n_real]
+        motion = np.asarray(motion)[:n_real]
+        audio = np.asarray(audio)[:n_real]
 
         if self.output_dir is not None:
             for i, ex in enumerate(bucket):
@@ -119,8 +142,7 @@ class Evaluator:
                 np.save(os.path.join(self.output_dir, name), full[i])
 
         for metric in self.metrics:
-            inputs = {"motion_input": np.asarray(motion),
-                      "audio_input": np.asarray(audio)}
+            inputs = {"motion_input": motion, "audio_input": audio}
             targets = [ex["target"] for ex in bucket]
             if all(t is not None for t in targets):
                 inputs["target"] = np.stack(targets)

@@ -35,6 +35,10 @@ flags.DEFINE_string("smpl_model_path", "",
                     "approximation used if empty.")
 flags.DEFINE_integer("seed_frames", 120,
                      "Leading seed frames to drop before scoring.")
+flags.DEFINE_string("audio_cache_dir", "",
+                    "Cached 35-dim audio feature dir; when set, also "
+                    "reports the Beat Alignment Score (music beats from "
+                    "feature column 34 vs kinematic beats).")
 
 
 def load_model() -> SMPLModel:
@@ -44,12 +48,17 @@ def load_model() -> SMPLModel:
     return SMPLModel(j_rest=default_rest_joints(), parents=SMPL_PARENTS)
 
 
+def joints_of(motion: np.ndarray, model: SMPLModel) -> np.ndarray:
+    """[1, T, 225] -> [T, 24, 3] joints (calculate_scores.py:154-162)."""
+    aa, transl = recover_to_axis_angles(motion)
+    return np.asarray(smpl_joints(np.asarray(aa)[0],
+                                  np.asarray(transl)[0], model))
+
+
 def extract_feature(motion: np.ndarray, model: SMPLModel,
                     mode: str) -> np.ndarray:
     """[1, T, 225] -> feature vector (calculate_scores.py:154-170)."""
-    aa, transl = recover_to_axis_angles(motion)
-    joints = np.asarray(smpl_joints(np.asarray(aa)[0],
-                                    np.asarray(transl)[0], model))
+    joints = joints_of(motion, model)
     if mode == "kinetic":
         return extract_kinetic_features(joints)
     return extract_manual_features(joints)
@@ -69,6 +78,7 @@ def main(_):
 
     model = load_model()
     result_features = {"kinetic": [], "manual": []}
+    beat_scores = []
     result_files = sorted(glob.glob(FLAGS.result_files))
     if not result_files:
         raise FileNotFoundError(f"no results match {FLAGS.result_files}")
@@ -78,10 +88,20 @@ def main(_):
         if motion.ndim == 2:
             motion = motion[None]
         motion = motion[:, FLAGS.seed_frames:]
-        result_features["kinetic"].append(
-            extract_feature(motion, model, "kinetic"))
-        result_features["manual"].append(
-            extract_feature(motion, model, "manual"))
+        joints = joints_of(motion, model)
+        result_features["kinetic"].append(extract_kinetic_features(joints))
+        result_features["manual"].append(extract_manual_features(joints))
+        if FLAGS.audio_cache_dir:
+            from mint_tpu.eval.beat_align import clip_beat_alignment
+            # {motion_name}_{audio_name}.npy -> audio_name (last token).
+            audio_name = os.path.basename(path)[:-4].split("_")[-1]
+            feat_path = os.path.join(FLAGS.audio_cache_dir,
+                                     f"{audio_name}.npy")
+            if os.path.exists(feat_path):
+                ba = clip_beat_alignment(joints, np.load(feat_path),
+                                         start_frame=FLAGS.seed_frames)
+                if ba is not None:
+                    beat_scores.append(ba)
 
     fid_k = frechet_feature_distance(real_features["kinetic"],
                                      result_features["kinetic"])
@@ -90,6 +110,9 @@ def main(_):
     # Reference expectation: FID_k ~38, FID_g ~27 (calculate_scores.py:223).
     print("\nEvaluation: FID_k: {:.4f}, FID_g: {:.4f}\n".format(fid_k,
                                                                 fid_g))
+    if beat_scores:
+        print("Beat Alignment Score: {:.4f} over {} clips\n".format(
+            float(np.mean(beat_scores)), len(beat_scores)))
 
 
 if __name__ == "__main__":

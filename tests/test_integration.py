@@ -190,10 +190,11 @@ except SystemExit: pass
 """)
     assert len(os.listdir(tmp_path / "features")) == 2 * 4  # 4 seqs x 2
 
-    # 5. FID scoring through the real CLI.
+    # 5. FID + beat-alignment scoring through the real CLI.
     out = _run(f"""
 sys.argv = ['calculate_scores', '--result_files={root}/outputs/*.npy',
-            '--feature_dir={root}/features', '--seed_frames=12']
+            '--feature_dir={root}/features', '--seed_frames=12',
+            '--audio_cache_dir={root}/cache']
 from mint_tpu.tools.calculate_scores import main
 from absl import app
 try: app.run(main)
@@ -203,3 +204,6 @@ except SystemExit: pass
     assert m, out
     fid_k, fid_g = float(m.group(1)), float(m.group(2))
     assert np.isfinite(fid_k) and np.isfinite(fid_g)
+    ba = re.search(r"Beat Alignment Score: ([\d.]+) over (\d+) clips", out)
+    assert ba, out
+    assert 0.0 <= float(ba.group(1)) <= 1.0
