@@ -53,8 +53,11 @@ def _flax_key_for(tf_key: str) -> Tuple[str, ...]:
     if m:
         return (f"{m.group(1)}_linear_embedding", "dense", m.group(2))
 
-    # Position embeddings.
-    m = re.fullmatch(r"(\w+)_pos_embedding/pos_embedding", path)
+    # Position embeddings: Keras tracks the add_weight variable under its
+    # weight NAME "position_embedding" (base_models.py:148-152), not the
+    # python attribute; accept both spellings.
+    m = re.fullmatch(r"(\w+)_pos_embedding/(?:pos|position)_embedding",
+                     path)
     if m:
         return (f"{m.group(1)}_pos_embedding", "pos_embedding")
 
