@@ -11,4 +11,10 @@
   (reference ``tools/extract_aist_features.py``)
 - ``python -m mint_tpu.tools.bvh_export`` — BVH export
   (reference ``tools/bvh_writer.py``)
+- ``python -m mint_tpu.tools.visualize`` — skeleton GIF/PNG rendering
+  (reference vedo visualization, ``tools/calculate_scores.py:54-79``)
+- ``python -m mint_tpu.tools.convert_checkpoint`` — released TF ckpt ->
+  Orbax
+- ``python -m mint_tpu.serving.server`` — batched online inference
+  (beyond-reference)
 """
