@@ -204,3 +204,38 @@ def test_create_input_end_to_end(tmp_path):
                                      use_tpu=False, prefetch=False))
     assert len(eval_batches) == 12
     assert eval_batches[0]["audio_input"].shape == (1, 600, 35)
+
+
+def test_create_input_deterministic_with_seed(tmp_path):
+    """Same seed -> identical batch stream (input-pipeline determinism)."""
+    import dataclasses
+    pipeline = load_pipeline_config(CONFIG)
+    ds_cfg = copy.deepcopy(pipeline.train_dataset)
+    ds_cfg.data_files = str(tmp_path / "det-*")
+    with TFRecordWriter(str(tmp_path / "det-0")) as w:
+        for i in range(5):
+            ex = _fake_sequence()
+            w.write(encode_example({
+                "motion_sequence": ex["motion_sequence"],
+                "motion_sequence_shape":
+                    np.asarray(ex["motion_sequence"].shape, np.int64),
+                "motion_name": [ex["motion_name"].encode()],
+                "audio_sequence": ex["audio_sequence"],
+                "audio_sequence_shape":
+                    np.asarray(ex["audio_sequence"].shape, np.int64),
+                "audio_name": [ex["audio_name"].encode()],
+            }))
+    tc = copy.deepcopy(pipeline.train_config)
+    tc.batch_size = 2
+    def first_batches(seed):
+        it = create_input(tc, ds_cfg, is_training=True, seed=seed,
+                          prefetch=False)
+        return [next(it) for _ in range(3)]
+    a = first_batches(7)
+    b = first_batches(7)
+    c = first_batches(8)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["motion_input"], y["motion_input"])
+        np.testing.assert_array_equal(x["target"], y["target"])
+    assert any(not np.array_equal(x["motion_input"], y["motion_input"])
+               for x, y in zip(a, c))
