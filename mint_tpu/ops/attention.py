@@ -41,61 +41,84 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n: int):
-    """One (batch*head) slice: q,k,v [N_pad, D_pad] in VMEM."""
+    """One (batch, head-block) tile: q,k,v [hb, N_pad, D_pad] in VMEM.
+
+    Scores stay in registers/VMEM — the N^2 matrix never touches HBM,
+    which is what the XLA formulation pays ~1 ms/layer for at FACT's
+    decode shapes (3-4 HBM passes over a 100-200 MB score tensor).
+    """
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     dots = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
     # Mask out padded key columns before softmax.
     n_pad = dots.shape[-1]
     if n_pad != n:
-        col = jax.lax.broadcasted_iota(jnp.int32, dots.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, dots.shape, 2)
         dots = jnp.where(col < n, dots, -1e30)
     dots = dots - jnp.max(dots, axis=-1, keepdims=True)
     exp = jnp.exp(dots)
     attn = exp / jnp.sum(exp, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
         attn.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
+@functools.partial(jax.jit, static_argnames=("scale", "head_block"))
 def pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                     scale: float) -> jax.Array:
+                     scale: float, head_block: int = 0) -> jax.Array:
     """Fused attention Pallas kernel; q/k/v: [B, H, N, D] -> [B, H, N, D].
 
-    Grid = B*H; each step computes a full (N, N) attention in VMEM.  For the
-    FACT shapes (N<=384 after padding, D=80->128) everything fits easily in
-    16 MB VMEM (384*384*4 + 3*384*128*4 ~ 1.2 MB).
+    Grid = (B, H / head_block); each step computes `head_block` heads'
+    full (N, N) attention in VMEM.  For FACT decode (B=40, H=10, N=360->
+    384, D=80->128), head_block=5 uses ~9 MB VMEM per step and keeps the
+    MXU fed with [hb*N, N] x [N, D] batched matmuls.
     """
     b, h, n, d = q.shape
+    if head_block <= 0:
+        head_block = h if h <= 8 else _largest_divisor_at_most(h, 5)
+    assert h % head_block == 0, (h, head_block)
     sub = 16 if q.dtype == jnp.bfloat16 else 8
     n_pad = _round_up(n, sub)
     d_pad = _round_up(d, 128)
     pad = [(0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d)]
-    qp = jnp.pad(q, pad).reshape(b * h, n_pad, d_pad)
-    kp = jnp.pad(k, pad).reshape(b * h, n_pad, d_pad)
-    vp = jnp.pad(v, pad).reshape(b * h, n_pad, d_pad)
+    blocks = (b * h) // head_block
+    qp = jnp.pad(q, pad).reshape(blocks, head_block, n_pad, d_pad)
+    kp = jnp.pad(k, pad).reshape(blocks, head_block, n_pad, d_pad)
+    vp = jnp.pad(v, pad).reshape(blocks, head_block, n_pad, d_pad)
 
-    spec = pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, head_block, n_pad, d_pad),
+                        lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    # CPU has no Mosaic backend; interpret mode keeps the kernel testable
+    # on the virtual mesh (numerics identical, perf irrelevant there).
+    interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, n=n),
-        grid=(b * h,),
+        grid=(blocks,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (blocks, head_block, n_pad, d_pad), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * n_pad * n_pad * d_pad,
-            bytes_accessed=4 * n_pad * d_pad * 4 + n_pad * n_pad * 4,
-            transcendentals=n_pad * n_pad,
+            flops=4 * head_block * n_pad * n_pad * d_pad,
+            bytes_accessed=4 * head_block * n_pad * d_pad * 4
+            + head_block * n_pad * n_pad * 4,
+            transcendentals=head_block * n_pad * n_pad,
         ),
+        interpret=interpret,
     )(qp, kp, vp)
     return out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
+
+
+def _largest_divisor_at_most(n: int, cap: int) -> int:
+    for cand in range(min(cap, n), 0, -1):
+        if n % cand == 0:
+            return cand
+    return 1
 
 
 def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
