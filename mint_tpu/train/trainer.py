@@ -45,24 +45,38 @@ class Trainer:
                  grad_clip_norm: float = 0.0,
                  label_key: str = "target",
                  loss_fn: Callable = l2_loss,
-                 mesh=None):
+                 mesh=None,
+                 accumulate_steps: int = 1):
+        """`accumulate_steps` > 1 averages gradients over that many
+        micro-batches before applying the optimizer (optax MultiSteps) —
+        large effective batches without the memory."""
         self.model = model
         self.schedule = learning_rate
         self.label_key = label_key
         self.loss_fn = loss_fn
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.accumulate_steps = accumulate_steps
 
         tx = [optax.scale_by_adam()]
         if grad_clip_norm and grad_clip_norm > 0.0:
             tx.insert(0, optax.clip_by_global_norm(grad_clip_norm))
         tx.append(optax.scale_by_learning_rate(learning_rate))
         self.optimizer = optax.chain(*tx)
+        if accumulate_steps > 1:
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=accumulate_steps)
 
         self._step_fn = None
 
     def init_state(self, params) -> TrainState:
         """Build a TrainState with params/opt state laid out on the mesh."""
+        import numpy as np
         shardings = mesh_lib.params_shardings(params, self.mesh)
+        # Detach from the caller's buffers via host memory: device_put of
+        # a device array can alias its buffer into a replica (even with
+        # may_alias=False), and the donated train step would then delete
+        # the caller's params out from under them.
+        params = jax.tree_util.tree_map(np.asarray, params)
         params = jax.device_put(params, shardings)
         # Sharding propagation gives Adam moments (zeros_like(param)) the
         # param's layout; counters come out replicated.

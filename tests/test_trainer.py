@@ -156,3 +156,62 @@ def test_controller_trains_and_checkpoints(tmp_path):
     assert ctl2.global_step == 20
     ctl.close()
     ctl2.close()
+
+
+def _acc_setup():
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0), batch_size=1)
+    rng = np.random.RandomState(3)
+    batch = make_batch(rng, 4, model)
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    return model, params, batch, mesh
+
+
+def test_gradient_accumulation_matches_large_batch():
+    """accumulate_steps=2 over two half-batches ~= one full-batch step."""
+    model, params, batch, mesh = _acc_setup()
+
+    tr_full = Trainer(model, schedules.constant(1e-2), mesh=mesh)
+    state_f = tr_full.init_state(params)
+    state_f, _ = tr_full.train_step(state_f, tr_full.shard_batch(batch))
+
+    halves = [{k: np.asarray(v)[:2] for k, v in batch.items()},
+              {k: np.asarray(v)[2:] for k, v in batch.items()}]
+    tr_acc = Trainer(model, schedules.constant(1e-2), mesh=mesh,
+                     accumulate_steps=2)
+    state_a = tr_acc.init_state(params)
+    for half in halves:
+        state_a, _ = tr_acc.train_step(state_a, tr_acc.shard_batch(half))
+
+    p0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(params)]
+    flat_f = [np.asarray(x)
+              for x in jax.tree_util.tree_leaves(state_f.params)]
+    flat_a = [np.asarray(x)
+              for x in jax.tree_util.tree_leaves(state_a.params)]
+    moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(flat_f, p0))
+    assert moved > 0
+    # Adam on mean-of-half-gradients vs full-batch gradient: close but
+    # not bitwise identical.
+    for a, b in zip(flat_f, flat_a):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3)
+
+
+def test_accumulation_applies_every_k():
+    model, params, batch, mesh = _acc_setup()
+    tr = Trainer(model, schedules.constant(1e-2), mesh=mesh,
+                 accumulate_steps=2)
+    state = tr.init_state(params)
+    p0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(params)]
+    sb = tr.shard_batch(batch)
+    state, _ = tr.train_step(state, sb)
+    # Snapshot before the next (donating) step invalidates these buffers.
+    after1 = [np.asarray(x)
+              for x in jax.tree_util.tree_leaves(state.params)]
+    for a, b in zip(p0, after1):  # no update after 1 micro-step
+        np.testing.assert_array_equal(a, b)
+    state, _ = tr.train_step(state, sb)
+    after2 = [np.asarray(x)
+              for x in jax.tree_util.tree_leaves(state.params)]
+    assert any(not np.array_equal(a, b) for a, b in zip(p0, after2))
