@@ -46,6 +46,9 @@ flags.DEFINE_integer("checkpoint_interval", 1000,
 flags.DEFINE_integer("summary_interval", 10, "Steps between summaries.")
 flags.DEFINE_bool("use_bfloat16", False,
                   "Run forward/backward compute in bfloat16.")
+flags.DEFINE_integer("accumulate_steps", 1,
+                     "Micro-batches to average per optimizer update "
+                     "(gradient accumulation).")
 flags.DEFINE_enum("input_backend", "auto", ["auto", "native", "python"],
                   "Training input pipeline: the C++ reader thread "
                   "(native/mint_loader.cc) or the NumPy pipeline.")
@@ -111,7 +114,8 @@ def train():
         initial_learning_rate=FLAGS.initial_learning_rate,
         warmup_steps=FLAGS.warmup_steps)
     trainer = Trainer(model, schedule,
-                      grad_clip_norm=FLAGS.grad_clip_norm, mesh=mesh)
+                      grad_clip_norm=FLAGS.grad_clip_norm, mesh=mesh,
+                      accumulate_steps=FLAGS.accumulate_steps)
     params = init_params(model, jax.random.PRNGKey(0))
     state = trainer.init_state(params)
 
