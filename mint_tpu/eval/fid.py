@@ -51,6 +51,10 @@ def frechet_feature_distance(real_features: Sequence[np.ndarray],
     (calculate_scores.py:173-189)."""
     real = np.stack(real_features)
     gen = np.stack(gen_features)
+    if len(real) < 2 or len(gen) < 2:
+        raise ValueError(
+            f"FID needs >= 2 clips per side for a covariance; got "
+            f"{len(real)} real / {len(gen)} generated")
     real, gen = normalize_by_reference(real, gen)
     return frechet_distance(
         mu1=np.mean(real, axis=0), sigma1=np.cov(real, rowvar=False),

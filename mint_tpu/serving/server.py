@@ -105,6 +105,9 @@ class GenerationService:
             except queue.Empty:
                 break
             if nxt is None:
+                # Keep the shutdown sentinel for the next _collect call so
+                # the worker still observes it after this batch drains.
+                self._q.put(None)
                 break
             batch.append(nxt)
         return batch
