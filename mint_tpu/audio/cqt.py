@@ -269,7 +269,11 @@ def chroma_cqt(y: np.ndarray, sr: int, hop: int = 512, n_chroma: int = 12,
                       n_bins=n_octaves * bins_per_octave,
                       bins_per_octave=bins_per_octave)
     n_merge = bins_per_octave // n_chroma
-    # Fold: chroma c sums bins [c*n_merge, (c+1)*n_merge) of every octave.
+    # Fold with librosa cq_to_chroma's centering: the merge window for
+    # pitch class c is CENTERED on the semitone — bins [c*m - m//2,
+    # c*m + m - m//2) with wraparound — implemented by rolling the bin
+    # axis by m//2 before the block fold.
+    C = np.roll(C, n_merge // 2, axis=1)
     C = C.reshape(C.shape[0], n_octaves, n_chroma, n_merge)
     return C.sum(axis=(1, 3))
 

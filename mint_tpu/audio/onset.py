@@ -14,23 +14,34 @@ import numpy as np
 def peak_pick(x: np.ndarray, pre_max: int, post_max: int, pre_avg: int,
               post_avg: int, delta: float, wait: int) -> np.ndarray:
     """Indices i where x[i] is the max of [i-pre_max, i+post_max), is at
-    least mean([i-pre_avg, i+post_avg)) + delta, and i is > `wait` past the
-    previously selected peak (librosa.util.peak_pick)."""
+    least mean([i-pre_avg, i+post_avg)) + delta, and i is > `wait` past
+    the previously selected peak (librosa.util.peak_pick).
+
+    Window statistics use scipy's sliding filters with librosa's edge
+    modes: max with zero-padding ('constant'), mean with edge
+    replication ('nearest') — a truncated-window mean at clip edges
+    would flip borderline peaks near track boundaries.
+    """
+    from scipy import ndimage
+
     x = np.asarray(x, np.float64)
     n = len(x)
+    max_len = max(1, pre_max + post_max)
+    avg_len = max(1, pre_avg + post_avg)
+    # Window [i - pre, i + post): size L, filter center i - L//2 + origin
+    # => origin = L//2 - pre.
+    mov_max = ndimage.maximum_filter1d(
+        x, max_len, mode="constant", origin=max_len // 2 - pre_max)
+    mov_avg = ndimage.uniform_filter1d(
+        x, avg_len, mode="nearest", origin=avg_len // 2 - pre_avg)
+    candidates = np.flatnonzero((x == mov_max) & (x >= mov_avg + delta))
     peaks = []
     last = -1 - wait
-    for i in range(n):
-        lo_m, hi_m = max(0, i - pre_max), min(n, i + post_max)
-        if x[i] != x[lo_m:hi_m].max():
-            continue
-        lo_a, hi_a = max(0, i - pre_avg), min(n, i + post_avg)
-        if x[i] < x[lo_a:hi_a].mean() + delta:
-            continue
+    for i in candidates:
         if i - last <= wait:
             continue
-        last = i
-        peaks.append(i)
+        last = int(i)
+        peaks.append(last)
     return np.asarray(peaks, np.int64)
 
 

@@ -448,19 +448,24 @@ def load_pipeline_config(path: str,
     """
     msg = textproto.parse_file(path)
     if config_override:
-        override = textproto.parse(config_override)
-        for k, v in override.items():
-            msg.add(k, v)  # later occurrences win in our accessors? No:
-        # Msg.get returns the first occurrence, so overrides must be
-        # re-merged properly: rebuild with override fields first.
-        merged = Msg()
-        for k, v in override.items():
-            merged.add(k, v)
-        for k, v in msg.items():
-            if k not in override:
-                merged.add(k, v)
-        msg = merged
+        _merge_msg(msg, textproto.parse(config_override))
     return pipeline_from_msg(msg)
+
+
+def _merge_msg(base: Msg, override: Msg) -> None:
+    """Recursive merge with protobuf ``text_format.Merge`` semantics:
+    singular message fields merge field-by-field, scalar fields are
+    overwritten, repeated fields are appended."""
+    for key, value in override.items():
+        existing = base.get(key)
+        if isinstance(value, Msg) and isinstance(existing, Msg) \
+                and len(base.get_all(key)) == 1 \
+                and len(override.get_all(key)) == 1:
+            _merge_msg(existing, value)
+        elif not isinstance(value, Msg):
+            base.replace(key, value)
+        else:
+            base.add(key, value)
 
 
 def configs_dict(pipeline: PipelineConfig) -> Dict[str, Any]:

@@ -57,6 +57,14 @@ class Msg:
     def __repr__(self) -> str:
         return f"Msg({self._fields!r})"
 
+    def replace(self, key: str, value: Any) -> None:
+        """Overwrite the first occurrence of `key` (or append)."""
+        for i, (k, _) in enumerate(self._fields):
+            if k == key:
+                self._fields[i] = (key, value)
+                return
+        self._fields.append((key, value))
+
     def to_dict(self) -> Any:
         out: dict = {}
         for k, v in self._fields:

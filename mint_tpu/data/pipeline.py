@@ -134,6 +134,14 @@ def _batch(examples: List[Dict]) -> Dict[str, np.ndarray]:
         if isinstance(vals[0], str):
             out[k] = np.asarray(vals)
         else:
+            shapes = {np.shape(v) for v in vals}
+            if len(shapes) > 1:
+                raise ValueError(
+                    f"cannot batch ragged feature {k!r} (shapes "
+                    f"{sorted(shapes)}); eval keeps full-length audio "
+                    "per clip, so use eval batch_size=1 (the shipped "
+                    "config's setting) and let the evaluator re-batch "
+                    "by generatable length")
             out[k] = np.stack(vals)
     return out
 
@@ -152,6 +160,8 @@ class _Prefetcher:
         try:
             for item in self._it:
                 self._q.put(item)
+        except BaseException as e:  # surface in the consumer, not stderr
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -164,6 +174,10 @@ class _Prefetcher:
         item = self._q.get()
         if item is self._done:
             self._finished = True  # stay exhausted on repeat iteration
+            error = getattr(self, "_error", None)
+            if error is not None:
+                raise RuntimeError(
+                    "input pipeline producer failed") from error
             raise StopIteration
         return item
 

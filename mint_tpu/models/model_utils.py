@@ -55,28 +55,24 @@ def create_initializer(initializer_range: float = 0.02):
 
 
 def gelu(x: jax.Array) -> jax.Array:
-    """Tanh-approximated GELU, exactly base_model_util.py:94-107."""
-    cdf = 0.5 * (1.0 + jnp.tanh(
-        np.sqrt(2.0 / np.pi) * (x + 0.044715 * jnp.power(x, 3))))
-    return x * cdf
+    """Tanh-approximated GELU (base_model_util.py:94-107) — the single
+    implementation lives in :mod:`mint_tpu.models.layers`."""
+    from mint_tpu.models.layers import gelu_tanh
+    return gelu_tanh(x)
 
 
 def get_activation(activation_string) -> Optional[Callable]:
-    """Activation registry (base_model_util.py:110-144)."""
+    """Activation registry (base_model_util.py:110-144); shares the
+    layers.ACTIVATIONS table."""
+    from mint_tpu.models.layers import ACTIVATIONS
     if not isinstance(activation_string, str):
         return activation_string
     if not activation_string:
         return None
     act = activation_string.lower()
-    if act == "linear":
-        return None
-    if act == "gelu":
-        return gelu
-    if act == "relu":
-        return jax.nn.relu
-    if act == "tanh":
-        return jnp.tanh
-    raise ValueError(f"Unsupported activation: {act}")
+    if act not in ACTIVATIONS:
+        raise ValueError(f"Unsupported activation: {act}")
+    return ACTIVATIONS[act]
 
 
 def get_shape_list(tensor: jax.Array) -> list:

@@ -7,12 +7,11 @@ dispatch.
 
 Protocol (npy bodies keep it dependency-free):
 
-- ``POST /generate?steps=N`` — body is an ``.npy`` payload of audio
-  features [T_audio, 35] (float32).  Optional header
-  ``X-Seed-Motion: <hex>`` is ignored; pass a seed by concatenating a
-  second array via ``POST /generate_with_seed`` (multipart of two npy
-  blobs separated by the 8-byte magic).  Response: ``.npy`` of generated
-  motion [steps', 225] where steps' = min(N, T_audio - 239).
+- ``POST /generate?steps=N`` — body is one ``.npy`` payload of audio
+  features [T_audio, 35] (float32), optionally followed by a second
+  concatenated ``.npy`` blob holding the seed motion
+  [motion_seq, motion_dim].  Response: ``.npy`` of generated motion
+  [steps', motion_dim] where steps' = min(N, T_audio - audio_seq + 1).
 - ``GET /healthz`` — liveness + model info.
 - ``GET /stats`` — request/batch counters.
 
@@ -117,12 +116,7 @@ class GenerationService:
             batch = self._collect()
             if not batch:
                 continue
-            try:
-                self._process(batch)
-            except Exception as e:  # pragma: no cover - defensive
-                for req in batch:
-                    req.error = str(e)
-                    req.event.set()
+            self._process(batch)
 
     def _process(self, batch: List[_Request]):
         motion_seq = self.model.motion_seq_length
@@ -139,27 +133,41 @@ class GenerationService:
 
         import jax.numpy as jnp
         for n_steps, reqs in sorted(buckets.items()):
-            audio_len = n_steps + self.model.audio_seq_length - 1
-            seeds = []
-            for req in reqs:
-                if req.seed is not None:
-                    seeds.append(req.seed)
-                else:
-                    seeds.append(np.zeros((motion_seq, self.motion_dim),
-                                          np.float32))
-            motion = jnp.asarray(np.stack(seeds))
-            audio = jnp.asarray(np.stack(
-                [r.audio[:audio_len] for r in reqs]))
-            out = np.asarray(decoder.infer_auto_regressive(
-                self.model, self.params,
-                {"motion_input": motion, "audio_input": audio},
-                steps=n_steps))
-            self.stats["batches"] += 1
-            self.stats["generated_frames"] += int(out.shape[0]
-                                                  * out.shape[1])
-            for i, req in enumerate(reqs):
-                req.result = out[i]
-                req.event.set()
+            # A failure (bad seed shape, OOM, ...) only fails THIS
+            # bucket's requests — co-batched buckets that already
+            # completed keep their results.
+            try:
+                audio_len = n_steps + self.model.audio_seq_length - 1
+                seeds = []
+                for req in reqs:
+                    if req.seed is not None:
+                        seed = np.asarray(req.seed, np.float32)
+                        if seed.shape != (motion_seq, self.motion_dim):
+                            raise ValueError(
+                                f"seed motion must be [{motion_seq}, "
+                                f"{self.motion_dim}], got {seed.shape}")
+                        seeds.append(seed)
+                    else:
+                        seeds.append(np.zeros(
+                            (motion_seq, self.motion_dim), np.float32))
+                motion = jnp.asarray(np.stack(seeds))
+                audio = jnp.asarray(np.stack(
+                    [r.audio[:audio_len] for r in reqs]))
+                out = np.asarray(decoder.infer_auto_regressive(
+                    self.model, self.params,
+                    {"motion_input": motion, "audio_input": audio},
+                    steps=n_steps))
+                self.stats["batches"] += 1
+                self.stats["generated_frames"] += int(out.shape[0]
+                                                      * out.shape[1])
+                for i, req in enumerate(reqs):
+                    req.result = out[i]
+                    req.event.set()
+            except Exception as e:
+                for req in reqs:
+                    if not req.event.is_set():
+                        req.error = str(e)
+                        req.event.set()
 
 
 def _npy_bytes(arr: np.ndarray) -> bytes:

@@ -133,9 +133,11 @@ def train():
         summary_interval=FLAGS.summary_interval)
 
     # Reference runs a single step first to bring everything up, then the
-    # rest (trainer.py:177-178).
+    # rest (trainer.py:177-178); train() is ABSOLUTE (until global_step
+    # reaches the target), so a preempted run resumes and stops at the
+    # same budget.
     controller.train(1)
-    controller.train(FLAGS.steps - 1)
+    controller.train(FLAGS.steps)
     controller.save_checkpoint()
     controller.close()
 

@@ -67,22 +67,25 @@ class Controller:
     def global_step(self) -> int:
         return int(self.state.step) if self.state is not None else 0
 
-    def train(self, num_steps: int) -> Dict[str, float]:
-        """Run `num_steps` training steps (relative, like orbit's train)."""
+    def train(self, until_step: int) -> Dict[str, float]:
+        """Train until ``global_step`` reaches `until_step` (ABSOLUTE,
+        like orbit's ``Controller.train``): a resumed run continues from
+        its checkpoint and stops at the same budget — calling train again
+        with the same target is a no-op, which is what makes
+        preemption-resume idempotent."""
         from mint_tpu.utils.profiling import StepTimer
 
         assert self.trainer is not None and self.train_iter is not None
         metrics: Dict[str, float] = {}
         timer = StepTimer()
-        done = 0
-        while done < num_steps:
-            loop = min(self.steps_per_loop, num_steps - done)
+        while self.global_step < until_step:
+            loop = min(self.steps_per_loop,
+                       until_step - self.global_step)
             for _ in range(loop):
                 batch = next(self.train_iter)
                 self.state, step_metrics = self.trainer.train_step(
                     self.state, batch)
                 timer.step()
-                done += 1
             step = self.global_step
             metrics = {k: float(v) for k, v in step_metrics.items()}
             metrics.update(timer.metrics())

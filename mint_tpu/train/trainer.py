@@ -49,7 +49,10 @@ class Trainer:
                  accumulate_steps: int = 1):
         """`accumulate_steps` > 1 averages gradients over that many
         micro-batches before applying the optimizer (optax MultiSteps) —
-        large effective batches without the memory."""
+        large effective batches without the memory.  NOTE: with
+        accumulation, LR-schedule steps count OPTIMIZER UPDATES (one per
+        k micro-batches), so config boundaries like "drop at 100k" mean
+        100k updates; the logged learning_rate metric reflects that."""
         self.model = model
         self.schedule = learning_rate
         self.label_key = label_key
@@ -118,6 +121,8 @@ class Trainer:
         label_key = self.label_key
         loss_fn = self.loss_fn
 
+        accumulate_steps = self.accumulate_steps
+
         def step_fn(state: TrainState, batch: Dict[str, jax.Array]
                     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
             batch = dict(batch)
@@ -133,11 +138,13 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             new_state = TrainState(step=state.step + 1, params=params,
                                    opt_state=opt_state)
+            # With accumulation, the schedule advances once per applied
+            # optimizer update, not per micro-batch.
             metrics = {
                 "total_loss": loss,
                 "loss": loss,
                 "reg_loss": jnp.zeros((), jnp.float32),
-                "learning_rate": schedule(state.step),
+                "learning_rate": schedule(state.step // accumulate_steps),
             }
             return new_state, metrics
 

@@ -122,3 +122,23 @@ def test_serialize_roundtrip_shipped_config(tmp_path):
     path = save_pipeline_config(pipeline, str(tmp_path))
     assert path.endswith("pipeline.config")
     assert load_pipeline_config(path) == pipeline
+
+
+def test_config_override_merges_recursively():
+    """Overrides merge field-by-field like text_format.Merge — a nested
+    override must not wipe sibling fields of the same message."""
+    p = load_pipeline_config(
+        CONFIG, config_override="train_config { batch_size: 8 }")
+    assert p.train_config.batch_size == 8
+    # Sibling learning_rate subtree from the file must survive.
+    lr = p.train_config.learning_rate
+    assert lr.which() == "manual_step_learning_rate"
+    assert lr.manual_step_learning_rate.schedule[0].step == 100000
+    # Scalar override deeper in the tree.
+    p2 = load_pipeline_config(
+        CONFIG, config_override=(
+            "train_config { learning_rate { manual_step_learning_rate {"
+            " initial_learning_rate: 0.5 } } }"))
+    ms = p2.train_config.learning_rate.manual_step_learning_rate
+    assert ms.initial_learning_rate == 0.5
+    assert len(ms.schedule) == 2  # file's repeated entries kept

@@ -239,3 +239,25 @@ def test_create_input_deterministic_with_seed(tmp_path):
         np.testing.assert_array_equal(x["target"], y["target"])
     assert any(not np.array_equal(x["motion_input"], y["motion_input"])
                for x, y in zip(a, c))
+
+
+def test_prefetcher_propagates_producer_errors():
+    from mint_tpu.data.pipeline import _Prefetcher
+
+    def boom():
+        yield {"a": 1}
+        raise IOError("corrupt record")
+
+    it = _Prefetcher(boom())
+    assert next(it) == {"a": 1}
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
+
+
+def test_batch_rejects_ragged_features():
+    from mint_tpu.data.pipeline import _batch
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ragged"):
+        _batch([{"audio_input": np.zeros((5, 3))},
+                {"audio_input": np.zeros((7, 3))}])

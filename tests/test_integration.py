@@ -163,15 +163,15 @@ except SystemExit: pass
 """)
     assert os.path.exists(tmp_path / "model" / "pipeline.config")
 
-    # 2b. Preemption/resume: a fresh process continues from step 12 (the
-    # controller restores the latest checkpoint on startup).
+    # 2b. Preemption/resume: a fresh process restores step 12 and trains
+    # until the ABSOLUTE budget (18); re-running with the original budget
+    # (12) is a no-op — orbit's idempotent-resume semantics.
     out = _run(f"""
 sys.argv = ['train', '--config_path={config}', '--model_dir={root}/model',
-            '--steps=6', '--checkpoint_interval=10',
+            '--steps=18', '--checkpoint_interval=10',
             '--data_parallelism=4', '--tensor_parallelism=2']
 from mint_tpu.tools.train import main
 from absl import app
-import logging; logging.getLogger().setLevel(logging.INFO)
 try: app.run(main)
 except SystemExit: pass
 import os
@@ -182,6 +182,24 @@ print('CKPT_STEPS=' + ','.join(map(str, steps)))
     ckpt_steps = [int(s) for s in
                   re.search(r"CKPT_STEPS=([\d,]+)", out).group(1).split(",")]
     assert max(ckpt_steps) == 18, ckpt_steps  # resumed 12 -> 18
+
+    # Re-running with an already-met budget must be a no-op.
+    out = _run(f"""
+sys.argv = ['train', '--config_path={config}', '--model_dir={root}/model',
+            '--steps=12', '--checkpoint_interval=10',
+            '--data_parallelism=4', '--tensor_parallelism=2']
+from mint_tpu.tools.train import main
+from absl import app
+try: app.run(main)
+except SystemExit: pass
+import os
+steps = sorted(int(d) for d in os.listdir('{root}/model')
+               if d.isdigit())
+print('CKPT_STEPS=' + ','.join(map(str, steps)))
+""")
+    ckpt_steps = [int(s) for s in
+                  re.search(r"CKPT_STEPS=([\d,]+)", out).group(1).split(",")]
+    assert max(ckpt_steps) == 18, ckpt_steps  # unchanged
 
     # 3. Evaluate: generate the testval set from the checkpoints.
     _run(f"""

@@ -38,9 +38,10 @@ def test_gelu_matches_reference_formula():
 
 
 def test_activation_registry():
+    from mint_tpu.models.layers import gelu_tanh
     assert mu.get_activation("linear") is None
     assert mu.get_activation("") is None
-    assert mu.get_activation("gelu") is mu.gelu
+    assert mu.get_activation("gelu") is gelu_tanh
     assert mu.get_activation("relu") is jax.nn.relu
     fn = lambda x: x
     assert mu.get_activation(fn) is fn
