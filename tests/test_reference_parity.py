@@ -73,10 +73,14 @@ prefix = tf.train.Checkpoint(model=model).save(out_dir + "/ckpt")
 ar = model.infer_auto_regressive(
     {"motion_input": tf.constant(motion),
      "audio_input": tf.constant(audio_full)}, steps=steps)
+target = rng.standard_normal((2, 20, 225)).astype(np.float32)
+loss = model.loss(tf.constant(target), fwd)
 np.save(out_dir + "/motion.npy", motion)
 np.save(out_dir + "/audio.npy", audio_full)
 np.save(out_dir + "/fwd.npy", fwd.numpy())
 np.save(out_dir + "/ar.npy", ar.numpy())
+np.save(out_dir + "/target.npy", target)
+np.save(out_dir + "/loss.npy", loss.numpy())
 print("PREFIX=" + prefix)
 """
 
@@ -128,6 +132,20 @@ def test_forward_parity(converted):
         "motion_input": jnp.asarray(motion),
         "audio_input": jnp.asarray(audio)}))
     np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+def test_training_loss_parity(converted):
+    from mint_tpu.models.fact import l2_loss
+
+    out_dir, model, params, _ = converted
+    motion = np.load(out_dir + "/motion.npy")
+    audio = np.load(out_dir + "/audio.npy")[:, :240]
+    target = np.load(out_dir + "/target.npy")
+    ref_loss = float(np.load(out_dir + "/loss.npy"))
+    pred = model.apply(params, {"motion_input": jnp.asarray(motion),
+                                "audio_input": jnp.asarray(audio)})
+    ours = float(l2_loss(jnp.asarray(target), pred))
+    assert abs(ours - ref_loss) < 1e-5, (ours, ref_loss)
 
 
 def test_autoregressive_parity(converted):
