@@ -33,8 +33,17 @@ flags.DEFINE_enum("split", "train", ["train", "testval"],
 flags.DEFINE_string("tfrecord_path", "./data/aist_tfrecord",
                     "Output path for the tfrecord files.")
 flags.DEFINE_integer("n_shards", 20, "Number of output shards.")
+flags.DEFINE_integer("audio_workers", 4,
+                     "Processes for audio feature extraction "
+                     "(0 = inline).")
 
 RNG = np.random.RandomState(42)
+
+
+def _extract_one(args) -> None:
+    """Worker: cache one music's features (own process, own JAX init)."""
+    audio_dir, cache_dir, name = args
+    AudioFeatureExtractor(audio_dir, cache_dir=cache_dir)(name)
 
 
 def create_writers(output_file: str, n_shards: int):
@@ -75,8 +84,16 @@ def main(_):
     logging.info("Pre-compute audio features ...")
     extractor = AudioFeatureExtractor(FLAGS.audio_dir,
                                       cache_dir=FLAGS.audio_cache_dir)
-    for audio_name in sorted({aist.audio_name_of(s) for s in seq_names}):
-        extractor(audio_name)
+    audio_names = sorted({aist.audio_name_of(s) for s in seq_names})
+    if FLAGS.audio_workers:
+        import multiprocessing
+        with multiprocessing.Pool(FLAGS.audio_workers) as pool:
+            pool.map(_extract_one,
+                     [(FLAGS.audio_dir, FLAGS.audio_cache_dir, name)
+                      for name in audio_names])
+    else:
+        for audio_name in audio_names:
+            extractor(audio_name)
 
     motion_dir = os.path.join(FLAGS.anno_dir, "motions")
 
