@@ -110,3 +110,42 @@ def test_window_values_come_from_source(tmp_path):
         # Window start respects the max-window bound (<= 30-12=18).
         assert 0 <= start <= 18
     ld.close()
+
+
+def test_skips_corrupt_records(tmp_path):
+    """A shard with a corrupted record mid-file: the loader keeps serving
+    the parseable examples instead of crashing."""
+    files = _write_shards(tmp_path, n_shards=1, per_shard=4)
+    # Append garbage framing at the end of the shard.
+    with open(files[0], "ab") as f:
+        f.write(b"\x10\x00\x00\x00\x00\x00\x00\x00XXXXgarbagegarbage??")
+    ld = native_loader.NativeTrainLoader(
+        files, batch_size=2, motion_input_len=10, target_len=3,
+        target_shift=10, audio_input_len=20, seed=5)
+    batch = next(ld)
+    assert batch["motion_input"].shape == (2, 10, 225)
+    assert np.isfinite(batch["motion_input"]).all()
+    ld.close()
+
+
+def test_missing_shard_skipped(tmp_path):
+    files = _write_shards(tmp_path, n_shards=1, per_shard=4)
+    ld = native_loader.NativeTrainLoader(
+        files + [str(tmp_path / "does-not-exist")],
+        batch_size=2, motion_input_len=10, target_len=3,
+        target_shift=10, audio_input_len=20, seed=5)
+    batch = next(ld)
+    assert batch["motion_input"].shape == (2, 10, 225)
+    ld.close()
+
+
+def test_examples_too_short_for_window_are_dropped(tmp_path):
+    files = _write_shards(tmp_path, n_shards=1, per_shard=3, t_motion=8,
+                          t_audio=8)  # window=20 > 8: all dropped
+    ok_files = _write_shards(tmp_path / "ok", n_shards=1, per_shard=3)
+    ld = native_loader.NativeTrainLoader(
+        files + ok_files, batch_size=2, motion_input_len=10,
+        target_len=3, target_shift=10, audio_input_len=20, seed=5)
+    batch = next(ld)  # served entirely from the valid shard
+    assert batch["motion_input"].shape == (2, 10, 225)
+    ld.close()
