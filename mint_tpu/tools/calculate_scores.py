@@ -115,5 +115,10 @@ def main(_):
             float(np.mean(beat_scores)), len(beat_scores)))
 
 
+def cli():
+    """Console entry point (pyproject [project.scripts])."""
+    app.run(main)
+
+
 if __name__ == "__main__":
     app.run(main)

@@ -80,5 +80,10 @@ def main(_):
     evaluate()
 
 
+def cli():
+    """Console entry point (pyproject [project.scripts])."""
+    app.run(main)
+
+
 if __name__ == "__main__":
     app.run(main)

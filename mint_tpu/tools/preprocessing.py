@@ -119,5 +119,10 @@ def main(_):
         w.close()
 
 
+def cli():
+    """Console entry point (pyproject [project.scripts])."""
+    app.run(main)
+
+
 if __name__ == "__main__":
     app.run(main)

@@ -148,5 +148,10 @@ def main(_):
     train()
 
 
+def cli():
+    """Console entry point (pyproject [project.scripts])."""
+    app.run(main)
+
+
 if __name__ == "__main__":
     app.run(main)
