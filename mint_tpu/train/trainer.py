@@ -46,7 +46,8 @@ class Trainer:
                  label_key: str = "target",
                  loss_fn: Callable = l2_loss,
                  mesh=None,
-                 accumulate_steps: int = 1):
+                 accumulate_steps: int = 1,
+                 adam_epsilon: float = 1e-7):
         """`accumulate_steps` > 1 averages gradients over that many
         micro-batches before applying the optimizer (optax MultiSteps) —
         large effective batches without the memory.  NOTE: with
@@ -60,7 +61,9 @@ class Trainer:
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.accumulate_steps = accumulate_steps
 
-        tx = [optax.scale_by_adam()]
+        # eps default 1e-7 = tf.keras Adam's default (the reference's
+        # optimizer, trainer.py:150); optax's own default is 1e-8.
+        tx = [optax.scale_by_adam(eps=adam_epsilon)]
         if grad_clip_norm and grad_clip_norm > 0.0:
             tx.insert(0, optax.clip_by_global_norm(grad_clip_norm))
         tx.append(optax.scale_by_learning_rate(learning_rate))
