@@ -61,7 +61,9 @@ def tempo(onset_envelope: np.ndarray, sr: int, hop_length: int = 512,
           start_bpm: float = 120.0, std_bpm: float = 1.0,
           ac_size: float = 8.0, max_tempo: float = 320.0) -> float:
     """Global tempo estimate in BPM (librosa.beat.tempo)."""
-    win_length = int(np.round(ac_size * sr / hop_length))
+    # librosa's time_to_frames FLOORS (8 s at sr/hop); round() would
+    # shift every tempogram lag/BPM bin at non-integral rates.
+    win_length = int(np.floor(ac_size * sr / hop_length))
     tg = tempogram(onset_envelope, win_length).mean(axis=1)
     bpms = tempo_frequencies(win_length, sr, hop_length)
     prior = np.exp(-0.5 * ((np.log2(bpms) - np.log2(start_bpm))

@@ -177,6 +177,13 @@ def cqt_magnitude(y: np.ndarray, sr: int, hop: int = 512,
     fmin = fmin * 2.0 ** (tuning / bins_per_octave)
     fft_basis, lengths, n_fft = _cqt_kernels(sr, fmin, n_bins,
                                              bins_per_octave)
+    if len(y) <= n_fft // 2:
+        # Shorter than half the longest kernel: reflect padding cannot
+        # fill the first frame (librosa raises for the same input).
+        raise ValueError(
+            f"input too short for CQT: {len(y)} samples < n_fft/2 = "
+            f"{n_fft // 2} (lowest kernel spans {int(lengths[0])} "
+            "samples)")
     groups = _cqt_band_groups(sr, fmin, n_bins, bins_per_octave)
     dev = device.audio_device()
     bands = tuple((col_lo, col_hi) for _, _, col_lo, col_hi in groups)

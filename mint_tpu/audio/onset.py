@@ -28,12 +28,16 @@ def peak_pick(x: np.ndarray, pre_max: int, post_max: int, pre_avg: int,
     n = len(x)
     max_len = max(1, pre_max + post_max)
     avg_len = max(1, pre_avg + post_avg)
-    # Window [i - pre, i + post): size L, filter center i - L//2 + origin
-    # => origin = L//2 - pre.
+    # scipy's size-L window at origin o covers [i - L//2 + ... ]; the
+    # origin that realizes [i - pre, i + post) is ceil((pre - post)/2)
+    # (verified empirically against a direct loop; note it is NOT
+    # L//2 - pre — scipy origins shift the window the other way).
     mov_max = ndimage.maximum_filter1d(
-        x, max_len, mode="constant", origin=max_len // 2 - pre_max)
+        x, max_len, mode="constant",
+        origin=-((post_max - pre_max) // 2))
     mov_avg = ndimage.uniform_filter1d(
-        x, avg_len, mode="nearest", origin=avg_len // 2 - pre_avg)
+        x, avg_len, mode="nearest",
+        origin=-((post_avg - pre_avg) // 2))
     candidates = np.flatnonzero((x == mov_max) & (x >= mov_avg + delta))
     peaks = []
     last = -1 - wait

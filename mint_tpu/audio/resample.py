@@ -41,7 +41,7 @@ def _sinc_filter(up: int, down: int, num_zeros: int = _NUM_ZEROS,
 
 
 def resample(x: np.ndarray, orig_sr: int, target_sr: int,
-             max_denominator: int = 512) -> np.ndarray:
+             max_denominator: int = 10000) -> np.ndarray:
     """Resample 1-D float signal from `orig_sr` to `target_sr`.
 
     Output length matches ``ceil(len(x) * target_sr / orig_sr)`` (librosa
@@ -49,7 +49,12 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int,
     """
     if orig_sr == target_sr:
         return np.asarray(x, np.float32)
-    frac = Fraction(target_sr, orig_sr).limit_denominator(max_denominator)
+    # Integer sample rates always have an exact rational ratio; only cap
+    # the denominator as a pathological-input safety valve (44.1 kHz ->
+    # 30720 is 512/735 and MUST be exact or audio drifts off-rate).
+    frac = Fraction(target_sr, orig_sr)
+    if frac.denominator > max_denominator:
+        frac = frac.limit_denominator(max_denominator)
     up, down = frac.numerator, frac.denominator
 
     x = np.asarray(x, np.float64)

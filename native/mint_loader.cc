@@ -203,7 +203,18 @@ bool ParseExample(Slice record, Example* ex) {
     ex->t_audio = ashape[0];
     ex->audio_dim = ashape[1];
   }
-  return ex->t_motion > 0 && ex->t_audio > 0;
+  if (ex->t_motion <= 0 || ex->t_audio <= 0 || ex->motion_dim <= 0 ||
+      ex->audio_dim <= 0) {
+    return false;
+  }
+  // Shape metadata must agree with the actual float payload — a
+  // truncated or inconsistent record would otherwise drive memcpy past
+  // the vector's allocation in MakeWindow.
+  if (ex->motion.size() != size_t(ex->t_motion) * size_t(ex->motion_dim))
+    return false;
+  if (ex->audio.size() != size_t(ex->t_audio) * size_t(ex->audio_dim))
+    return false;
+  return true;
 }
 
 // ---------------------------------------------------------------------------
@@ -276,16 +287,34 @@ class Loader {
     std::mt19937_64 file_rng(cfg_.seed ^ 0x9e3779b97f4a7c15ull);
     // Endless epochs (reference .repeat()), shards reshuffled per epoch.
     while (true) {
+      {
+        std::lock_guard<std::mutex> lock(mu_);
+        if (stop_) return;
+      }
       std::vector<size_t> order(files_.size());
       for (size_t i = 0; i < order.size(); ++i) order[i] = i;
       std::shuffle(order.begin(), order.end(), file_rng);
+      bool produced = false;
       for (size_t fi : order) {
-        if (!ReadFile(files_[fi], file_rng)) return;  // stopped
+        if (!ReadFile(files_[fi], file_rng, &produced)) return;
+      }
+      if (!produced) {
+        // No shard yielded a single usable window: signal exhaustion so
+        // Next() returns 0 instead of blocking forever.
+        {
+          std::lock_guard<std::mutex> lock(mu_);
+          stop_ = true;
+        }
+        cv_not_empty_.notify_all();
+        return;
       }
     }
   }
 
-  bool ReadFile(const std::string& path, std::mt19937_64& rng) {
+  // Returns false if the loader is stopping; sets *produced when at
+  // least one window was enqueued from this shard.
+  bool ReadFile(const std::string& path, std::mt19937_64& rng,
+                bool* produced) {
     std::ifstream in(path, std::ios::binary);
     if (!in) return true;  // skip unreadable shard
     std::vector<uint8_t> buf;
@@ -293,7 +322,14 @@ class Loader {
       uint8_t header[12];
       if (!in.read(reinterpret_cast<char*>(header), 12)) break;
       uint64_t len;
+      uint32_t len_crc;
       std::memcpy(&len, header, 8);
+      std::memcpy(&len_crc, header + 8, 4);
+      // Verify the length CRC (TFRecord's guard against corrupt/desynced
+      // framing): a flipped length would otherwise drive a huge resize
+      // and kill the process from the reader thread.
+      if (MaskedCrc(header, 8) != len_crc) break;
+      if (len > (1ull << 31)) break;  // sane record-size cap (2 GB)
       buf.resize(len + 4);
       if (!in.read(reinterpret_cast<char*>(buf.data()), len + 4)) break;
 
@@ -308,6 +344,7 @@ class Loader {
       });
       if (stop_) return false;
       buffer_.push_back(std::move(w));
+      *produced = true;
       lock.unlock();
       cv_not_empty_.notify_one();
     }
@@ -329,6 +366,7 @@ class Loader {
     if (hi <= 0 || ex.t_audio < window) return false;
     std::uniform_int_distribution<int64_t> d(0, hi - 1);
     int64_t start = d(rng);
+    if (start >= ex.t_audio) return false;  // audio shorter than motion
 
     auto slice_motion = [&](int64_t s, int len, std::vector<float>* out) {
       out->assign(size_t(len) * mdim, 0.0f);
@@ -342,8 +380,10 @@ class Loader {
     slice_motion(start + cfg_.target_shift, cfg_.target_len, &w->target);
     w->audio_input.assign(size_t(cfg_.audio_input_len) * cfg_.audio_dim,
                           0.0f);
-    int64_t audio_avail = std::min<int64_t>(cfg_.audio_input_len,
-                                            ex.t_audio - start);
+    // Clamp to >= 0: a negative remainder cast to size_t would memcpy
+    // petabytes (audio shorter than the sampled window start).
+    int64_t audio_avail = std::max<int64_t>(
+        0, std::min<int64_t>(cfg_.audio_input_len, ex.t_audio - start));
     std::memcpy(w->audio_input.data(),
                 ex.audio.data() + start * cfg_.audio_dim,
                 size_t(audio_avail) * cfg_.audio_dim * 4);

@@ -111,11 +111,16 @@ class TestChroma:
         assert dominant == 9
 
     def test_cens_rows_unit_norm(self):
-        y = _tone(261.63, 1.0, SR)  # C4
+        y = _tone(261.63, 2.0, SR)  # C4
         ch = cqt_lib.chroma_cens(y, SR, tuning=0.0)
         norms = np.linalg.norm(ch, axis=1)
         active = norms > 1e-6
         np.testing.assert_allclose(norms[active], 1.0, atol=1e-5)
+
+    def test_too_short_input_raises(self):
+        # Shorter than half the longest CQT kernel: librosa raises too.
+        with pytest.raises(ValueError, match="too short"):
+            cqt_lib.chroma_cens(_tone(440, 0.5, SR), SR, tuning=0.0)
 
     def test_tuning_estimate_centered_tone(self):
         y = _tone(440, 1.0, SR)

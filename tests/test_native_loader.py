@@ -149,3 +149,79 @@ def test_examples_too_short_for_window_are_dropped(tmp_path):
     batch = next(ld)  # served entirely from the valid shard
     assert batch["motion_input"].shape == (2, 10, 225)
     ld.close()
+
+
+def test_all_unusable_shards_stop_instead_of_hanging(tmp_path):
+    """Every record too short for the window: the loader signals
+    exhaustion (StopIteration) rather than spinning/blocking forever."""
+    files = _write_shards(tmp_path, n_shards=1, per_shard=2, t_motion=5,
+                          t_audio=5)
+    ld = native_loader.NativeTrainLoader(
+        files, batch_size=2, motion_input_len=10, target_len=3,
+        target_shift=10, audio_input_len=20, seed=9)
+    with pytest.raises(StopIteration):
+        next(ld)
+    ld.close()  # must not deadlock
+
+
+def test_shape_metadata_mismatch_rejected(tmp_path):
+    """Records whose float payload disagrees with the declared shape are
+    skipped instead of read out of bounds."""
+    path = str(tmp_path / "bad")
+    motion = RNG.standard_normal((40, 219)).astype(np.float32)
+    audio = RNG.standard_normal((60, 35)).astype(np.float32)
+    with TFRecordWriter(path) as w:
+        w.write(encode_example({
+            # Declared 400 frames but only 40 frames of data.
+            "motion_sequence": motion.ravel(),
+            "motion_sequence_shape": np.asarray([400, 219], np.int64),
+            "audio_sequence": audio.ravel(),
+            "audio_sequence_shape": np.asarray(audio.shape, np.int64),
+        }))
+    ld = native_loader.NativeTrainLoader(
+        [path], batch_size=1, motion_input_len=10, target_len=3,
+        target_shift=10, audio_input_len=20, seed=9)
+    with pytest.raises(StopIteration):  # nothing usable
+        next(ld)
+    ld.close()
+
+
+def test_audio_shorter_than_motion_no_crash(tmp_path):
+    """t_motion >> t_audio: the sampled window may start past the audio;
+    must not segfault (and such windows are skipped)."""
+    path = str(tmp_path / "short_audio")
+    motion = RNG.standard_normal((1000, 219)).astype(np.float32)
+    audio = RNG.standard_normal((60, 35)).astype(np.float32)
+    with TFRecordWriter(path) as w:
+        w.write(encode_example({
+            "motion_sequence": motion.ravel(),
+            "motion_sequence_shape": np.asarray(motion.shape, np.int64),
+            "audio_sequence": audio.ravel(),
+            "audio_sequence_shape": np.asarray(audio.shape, np.int64),
+        }))
+    ld = native_loader.NativeTrainLoader(
+        [path], batch_size=1, motion_input_len=10, target_len=3,
+        target_shift=10, audio_input_len=20, seed=11)
+    # Most random starts fall past the 60-frame audio and are skipped;
+    # starts inside it are served zero-padded. Either way: no crash.
+    try:
+        batch = next(ld)
+        assert batch["motion_input"].shape == (1, 10, 225)
+    except StopIteration:
+        pass
+    ld.close()
+
+
+def test_corrupt_length_field_stops_file(tmp_path):
+    """A bit-flipped record length (bad length-CRC) must not abort the
+    process; the rest of the stream is abandoned safely."""
+    files = _write_shards(tmp_path, n_shards=1, per_shard=3)
+    with open(files[0], "r+b") as f:
+        f.seek(0)
+        f.write(b"\xff\xff\xff\xff\xff\xff\xff\x7f")  # absurd length
+    ld = native_loader.NativeTrainLoader(
+        files, batch_size=1, motion_input_len=10, target_len=3,
+        target_shift=10, audio_input_len=20, seed=9)
+    with pytest.raises(StopIteration):  # whole (single) shard abandoned
+        next(ld)
+    ld.close()
