@@ -185,3 +185,36 @@ class TestFrontend:
         assert set(np.unique(feats[:, 34])) <= {0.0, 1.0}
         assert feats[:, 33].sum() > 0
         assert feats[:, 34].sum() > 0
+
+
+class TestPeakPickWindows:
+    def test_matches_direct_window_computation(self):
+        """peak_pick's filter windows equal the literal [i-pre, i+post)
+        definition for asymmetric windows (origin-sign regression)."""
+        rng = np.random.default_rng(5)
+        x = rng.random(200)
+        pre_max, post_max, pre_avg, post_avg = 2, 1, 6, 7
+        delta, wait = 0.05, 2
+        got = onset_lib.peak_pick(x, pre_max, post_max, pre_avg, post_avg,
+                                  delta, wait)
+
+        def direct():
+            n = len(x)
+            peaks, last = [], -1 - wait
+            for i in range(n):
+                lo_m, hi_m = i - pre_max, i + post_max
+                win = x[max(0, lo_m):min(n, hi_m)]
+                if len(win) == 0 or x[i] != win.max():
+                    continue  # zero-padded max can only lower the max
+                # edge-replicated mean over [i-pre_avg, i+post_avg)
+                idx = np.clip(np.arange(i - pre_avg, i + post_avg), 0,
+                              n - 1)
+                if x[i] < x[idx].mean() + delta:
+                    continue
+                if i - last <= wait:
+                    continue
+                last = i
+                peaks.append(i)
+            return np.asarray(peaks)
+
+        np.testing.assert_array_equal(got, direct())
