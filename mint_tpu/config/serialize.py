@@ -22,14 +22,10 @@ from mint_tpu.config import schema as S
 
 
 def _fmt_scalar(value: Any) -> str:
-    if isinstance(value, bool):
-        return "true" if value else "false"
-    if isinstance(value, str):
-        return '"%s"' % value
-    if isinstance(value, float):
-        text = repr(value)
-        return text
-    return str(value)
+    # Shares the parser's formatter: unquoted enum identifiers, escaped
+    # strings — quoted enums would be rejected by protobuf text_format.
+    from mint_tpu.config.textproto import _format_scalar
+    return _format_scalar(value)
 
 
 def _emit_dataclass(obj, name: str, lines: List[str], indent: int) -> None:

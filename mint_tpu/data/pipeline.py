@@ -203,13 +203,29 @@ def create_input(train_eval_config, dataset_config: DatasetConfig,
     rng = np.random.default_rng(seed)
     drop_remainder = use_tpu or is_training
 
+    def interleave_records(ordered_files):
+        """Round-robin over per-shard readers (the reference's parallel
+        interleave, inputs.py:63-69): consecutive records come from
+        different shards, so the shuffle(100) buffer spans many shards
+        instead of ~1.5 sequential ones."""
+        readers = [tfrecord.read_records(f) for f in ordered_files]
+        while readers:
+            alive = []
+            for r in readers:
+                record = next(r, None)
+                if record is not None:
+                    alive.append(r)
+                    yield record
+            readers = alive
+
     def example_stream():
         if is_training:
             while True:  # .repeat()
                 order = rng.permutation(len(files))
                 # shuffle(100) over a round-robin interleave of the shards
                 buf: List[Dict] = []
-                for record in tfrecord.read_many([files[i] for i in order]):
+                for record in interleave_records(
+                        [files[i] for i in order]):
                     ex = parse_example(record)
                     if use_fact:
                         ex = fact_preprocessing(ex, modality_to_params,

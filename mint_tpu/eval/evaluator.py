@@ -94,11 +94,20 @@ class Evaluator:
         examples = self._examples()
         # Bucket clips by how many frames the reference protocol generates.
         buckets = collections.defaultdict(list)
+        skipped = []
         for ex in examples:
             n = decoder.max_steps(self.model, ex["audio_input"].shape[0],
                                   self.steps)
             if n > 0:
                 buckets[n].append(ex)
+            else:
+                skipped.append(_decode(ex["motion_name"]))
+        if skipped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "skipping %d clip(s) whose audio (< %d frames) cannot "
+                "fill one decode window: %s", len(skipped),
+                self.model.audio_seq_length, ", ".join(skipped[:10]))
 
         for n_steps, bucket in sorted(buckets.items()):
             for i in range(0, len(bucket), self.decode_batch):

@@ -52,30 +52,50 @@ class GenerationService:
     """Owns the model, params, and the batching worker."""
 
     def __init__(self, model: FACT, params, batch_window_ms: float = 10.0,
-                 max_batch: int = 32, default_steps: int = 1200):
+                 max_batch: int = 32, default_steps: int = 1200,
+                 steps_bucket: int = 128):
+        """`steps_bucket` quantizes generation lengths upward so XLA
+        compiles one decoder per (batch-bucket, steps-bucket) instead of
+        one per distinct client audio length; extra frames use zero
+        audio padding and are trimmed before returning (exact: frame i
+        only reads audio [i, i+window), which is fully real for i <
+        requested steps)."""
         self.model = model
         self.params = params
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
         self.default_steps = default_steps
+        self.steps_bucket = max(1, steps_bucket)
         self.motion_dim = (
             model.config.cross_modal_model.output_layer.out_dim)
         self.stats = {"requests": 0, "batches": 0, "generated_frames": 0}
+        self._stats_lock = threading.Lock()
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _bump(self, key: str, amount: int = 1) -> None:
+        with self._stats_lock:  # += is not atomic across handler threads
+            self.stats[key] += amount
 
     # -- client side -----------------------------------------------------
 
     def generate(self, audio: np.ndarray, seed: Optional[np.ndarray] = None,
                  steps: Optional[int] = None,
                  timeout: float = 300.0) -> np.ndarray:
-        req = _Request(np.asarray(audio, np.float32),
-                       None if seed is None else np.asarray(seed,
-                                                            np.float32),
+        # Validate per-request so one bad request cannot fail the bucket
+        # it would have been co-batched with.
+        motion_seq = self.model.motion_seq_length
+        if seed is not None:
+            seed = np.asarray(seed, np.float32)
+            if seed.shape != (motion_seq, self.motion_dim):
+                raise ValueError(
+                    f"seed motion must be [{motion_seq}, "
+                    f"{self.motion_dim}], got {list(seed.shape)}")
+        req = _Request(np.asarray(audio, np.float32), seed,
                        steps or self.default_steps)
-        self.stats["requests"] += 1
+        self._bump("requests")
         self._q.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("generation timed out")
@@ -120,6 +140,8 @@ class GenerationService:
 
     def _process(self, batch: List[_Request]):
         motion_seq = self.model.motion_seq_length
+        # Bucket by QUANTIZED generation length so nearby client lengths
+        # share one compiled decoder.
         buckets: Dict[int, List[_Request]] = {}
         for req in batch:
             n = decoder.max_steps(self.model, req.audio.shape[0],
@@ -129,39 +151,46 @@ class GenerationService:
                              f"frames < {self.model.audio_seq_length}")
                 req.event.set()
                 continue
-            buckets.setdefault(n, []).append(req)
+            quantized = -(-n // self.steps_bucket) * self.steps_bucket
+            buckets.setdefault(quantized, []).append(req)
 
         import jax.numpy as jnp
         for n_steps, reqs in sorted(buckets.items()):
-            # A failure (bad seed shape, OOM, ...) only fails THIS
-            # bucket's requests — co-batched buckets that already
-            # completed keep their results.
+            # A failure (OOM, ...) only fails THIS bucket's requests —
+            # co-batched buckets that already completed keep theirs.
             try:
+                # Scan length is the bucket key (already quantized);
+                # batch pads to a power of two. Compiles are bounded by
+                # (steps buckets x batch buckets); padded frames/rows
+                # are trimmed per request.
                 audio_len = n_steps + self.model.audio_seq_length - 1
-                seeds = []
-                for req in reqs:
-                    if req.seed is not None:
-                        seed = np.asarray(req.seed, np.float32)
-                        if seed.shape != (motion_seq, self.motion_dim):
-                            raise ValueError(
-                                f"seed motion must be [{motion_seq}, "
-                                f"{self.motion_dim}], got {seed.shape}")
-                        seeds.append(seed)
-                    else:
-                        seeds.append(np.zeros(
-                            (motion_seq, self.motion_dim), np.float32))
+                n_real = len(reqs)
+                batch = 1 << (n_real - 1).bit_length()  # next pow2
+                seeds = [np.asarray(r.seed, np.float32)
+                         if r.seed is not None
+                         else np.zeros((motion_seq, self.motion_dim),
+                                       np.float32) for r in reqs]
+                seeds += [seeds[-1]] * (batch - n_real)
+                audio_rows = []
+                for r in reqs:
+                    row = np.zeros((audio_len, r.audio.shape[1]),
+                                   np.float32)
+                    row[:min(audio_len, len(r.audio))] = \
+                        r.audio[:audio_len]
+                    audio_rows.append(row)
+                audio_rows += [audio_rows[-1]] * (batch - n_real)
                 motion = jnp.asarray(np.stack(seeds))
-                audio = jnp.asarray(np.stack(
-                    [r.audio[:audio_len] for r in reqs]))
+                audio = jnp.asarray(np.stack(audio_rows))
                 out = np.asarray(decoder.infer_auto_regressive(
                     self.model, self.params,
                     {"motion_input": motion, "audio_input": audio},
                     steps=n_steps))
-                self.stats["batches"] += 1
-                self.stats["generated_frames"] += int(out.shape[0]
-                                                      * out.shape[1])
+                self._bump("batches")
                 for i, req in enumerate(reqs):
-                    req.result = out[i]
+                    req_steps = decoder.max_steps(
+                        self.model, req.audio.shape[0], req.steps)
+                    req.result = out[i, :req_steps]
+                    self._bump("generated_frames", int(req_steps))
                     req.event.set()
             except Exception as e:
                 for req in reqs:
@@ -228,6 +257,13 @@ def _make_handler(service: GenerationService):
             except (ValueError, IndexError) as e:
                 self._send(400, json.dumps(
                     {"error": str(e)}).encode(), "application/json")
+            except TimeoutError as e:
+                self._send(504, json.dumps(
+                    {"error": str(e)}).encode(), "application/json")
+            except Exception as e:  # never drop the connection silently
+                self._send(500, json.dumps(
+                    {"error": f"internal error: {e}"}).encode(),
+                    "application/json")
 
     return Handler
 

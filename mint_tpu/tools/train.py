@@ -63,6 +63,10 @@ def _make_input(train_config, dataset_config):
             params = data_pipeline.get_modality_to_param_dict(
                 dataset_config)
             files = tfrecord.glob(dataset_config.data_files)
+            if not files:
+                raise FileNotFoundError(
+                    f"no input files match "
+                    f"{dataset_config.data_files!r}")
             logging.info("using native input loader (%d shards)",
                          len(files))
             return native_loader.NativeTrainLoader(
