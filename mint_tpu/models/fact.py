@@ -35,11 +35,21 @@ class FACT(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        from mint_tpu.models.modalities import build_modalities_model
+
         cfg = self.config
         motion_cfg = cfg.modality_by_name("motion")
         audio_cfg = cfg.modality_by_name("audio")
-        motion_tf = motion_cfg.model[0].transformer
-        audio_tf = audio_cfg.model[0].transformer
+        # Oneof-aware lookup (reference multi_modal_model_util.py:24-56):
+        # the transformer entry is found regardless of its position in
+        # the repeated `model` list.
+        feature_to_model, _, _ = build_modalities_model(cfg.modality)
+        motion_tf = feature_to_model["motion"].get("transformer_layer")
+        audio_tf = feature_to_model["audio"].get("transformer_layer")
+        if motion_tf is None or audio_tf is None:
+            raise ValueError(
+                "FACT requires a transformer model for both the motion "
+                "and audio modalities")
         cm = cfg.cross_modal_model
         if cm.cross_modal_concat_dim != "SEQUENCE_WISE":
             raise NotImplementedError(
@@ -129,16 +139,25 @@ def l2_loss(target: jax.Array, pred: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(diff))
 
 
-def init_params(model: FACT, rng: jax.Array,
-                batch_size: int = 1) -> dict:
-    """Initialize parameters with correctly-shaped dummy inputs."""
+AIST_AUDIO_DIM = 35  # the AIST++ frontend's feature width
+                     # (tools/preprocessing.py:115-117)
+
+
+def init_params(model: FACT, rng: jax.Array, batch_size: int = 1,
+                audio_dim: int = 0) -> dict:
+    """Initialize parameters with correctly-shaped dummy inputs.
+
+    Input widths come from the config's ``feature_dim``; the shipped
+    flagship config leaves the audio width unset, so it defaults to the
+    AIST++ frontend's 35 dims — pass `audio_dim` explicitly when using
+    a different audio frontend (a mismatch would otherwise only surface
+    as a dot_general shape error at first apply).
+    """
     cfg = model.config
     motion_cfg = cfg.modality_by_name("motion")
     audio_cfg = cfg.modality_by_name("audio")
     motion_dim = motion_cfg.feature_dim or cfg.cross_modal_model.output_layer.out_dim
-    # The shipped config leaves audio feature_dim unset; the AIST++ audio
-    # frontend emits 35-dim features (tools/preprocessing.py:115-117).
-    audio_dim = audio_cfg.feature_dim or 35
+    audio_dim = audio_dim or audio_cfg.feature_dim or AIST_AUDIO_DIM
     dummy = {
         "motion_input": jnp.zeros(
             (batch_size, motion_cfg.sequence_length, motion_dim),

@@ -68,7 +68,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n: int):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "head_block"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      scale: float, head_block: int = 0) -> jax.Array:
     """Fused attention Pallas kernel; q/k/v: [B, H, N, D] -> [B, H, N, D].
@@ -93,9 +93,12 @@ def pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     spec = pl.BlockSpec((1, head_block, n_pad, d_pad),
                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-    # CPU has no Mosaic backend; interpret mode keeps the kernel testable
-    # on the virtual mesh (numerics identical, perf irrelevant there).
-    interpret = jax.default_backend() == "cpu"
+    # Only TPUs have the Mosaic backend; everywhere else (CPU mesh in
+    # tests, GPU hosts) fall back to interpret mode (same numerics).
+    # Caveat: on a TPU host with computation FORCED onto CPU via
+    # jax.default_device, this still lowers for Mosaic — use the XLA
+    # path (use_pallas=False) in that configuration.
+    interpret = all(d.platform != "tpu" for d in jax.devices())
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, n=n),
         grid=(blocks,),
@@ -119,6 +122,24 @@ def _largest_divisor_at_most(n: int, cap: int) -> int:
         if n % cand == 0:
             return cand
     return 1
+
+
+def _pallas_attention_fwd(q, k, v, scale, head_block):
+    return pallas_attention(q, k, v, scale, head_block), (q, k, v)
+
+
+def _pallas_attention_bwd(scale, head_block, residuals, grad_out):
+    # Backward through the mathematically identical XLA formulation: the
+    # fused kernel accelerates the forward; gradients reuse XLA's
+    # (well-fused) attention VJP. Parity between the two forwards is
+    # covered by tests, so the cotangents are exact.
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda a, b, c: xla_attention(a, b, c, scale),
+                     q, k, v)
+    return vjp(grad_out)
+
+
+pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 
 
 def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,

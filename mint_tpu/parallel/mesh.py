@@ -63,15 +63,10 @@ def param_spec(path: str) -> P:
 
 def params_shardings(params, mesh: Mesh):
     """NamedSharding pytree matching `params` (flax FrozenDict or dict)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def path_str(kp):
-        return "/".join(getattr(k, "key", str(k)) for k in kp)
-
-    specs = {path_str(kp): param_spec(path_str(kp)) for kp, _ in flat}
 
     def to_sharding(kp, _leaf):
-        return NamedSharding(mesh, specs[path_str(kp)])
+        path = "/".join(getattr(k, "key", str(k)) for k in kp)
+        return NamedSharding(mesh, param_spec(path))
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 

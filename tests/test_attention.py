@@ -46,3 +46,21 @@ def test_softmax_rows_normalized():
     out = np.asarray(pallas_attention(q, k, ones, 0.3, head_block=1))
     # With V = 1, attention output is the softmax row-sum = 1 everywhere.
     np.testing.assert_allclose(out, 1.0, atol=1e-5)
+
+
+def test_pallas_attention_differentiable():
+    """use_pallas=True must support backprop (custom VJP routes the
+    backward through the equivalent XLA formulation)."""
+    q, k, v = _qkv(b=1, h=2, n=24, d=16)
+
+    def loss_p(q, k, v):
+        return jnp.sum(pallas_attention(q, k, v, 0.1, 2) ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, 0.1) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)

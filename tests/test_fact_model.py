@@ -125,3 +125,21 @@ def test_cross_modal_width_mismatch_raises(pipeline):
     b = jnp.ones((1, 4, 8))
     with pytest.raises(ValueError, match="hidden size"):
         layer.init(jax.random.PRNGKey(0), a, b)
+
+
+def test_modality_oneof_order_independent():
+    """A non-transformer entry before the transformer in the repeated
+    `model` list must not break FACT (oneof-scan parity with the
+    reference's build_modalities_model)."""
+    import copy
+    from mint_tpu.config.schema import MLPConfig, ModalityModelConfig
+    pipe = load_pipeline_config(CONFIG)
+    cfg = copy.deepcopy(pipe.multi_modal_model)
+    for mod in cfg.fact_model.modality:
+        mod.model.insert(0, ModalityModelConfig(mlp=MLPConfig(out_dim=8)))
+    model = build(cfg, is_training=False)
+    params = init_params(model, jax.random.PRNGKey(0))
+    out = model.apply(params, {
+        "motion_input": jnp.zeros((1, 120, 225)),
+        "audio_input": jnp.zeros((1, 240, 35))})
+    assert out.shape == (1, 360, 225)
