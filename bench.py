@@ -58,13 +58,17 @@ def main():
     out = infer_auto_regressive(model, params, inputs, steps=STEPS)
     np.asarray(out)
 
-    t0 = time.perf_counter()
-    out = infer_auto_regressive(model, params, inputs, steps=STEPS)
-    out = np.asarray(out)
-    dt = time.perf_counter() - t0
+    # Median of >=3 timed repeats: the tunneled chip adds per-dispatch
+    # latency jitter, so a single sample can misreport by a lot.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = infer_auto_regressive(model, params, inputs, steps=STEPS)
+        out = np.asarray(out)
+        times.append(time.perf_counter() - t0)
     assert out.shape == (BATCH, STEPS, 225) and np.isfinite(out).all()
 
-    fps = BATCH * STEPS / dt
+    fps = BATCH * STEPS / float(np.median(times))
     print(json.dumps({
         "metric": "ar_generation_throughput",
         "value": round(fps, 1),

@@ -454,8 +454,14 @@ def load_pipeline_config(path: str,
 
 def _merge_msg(base: Msg, override: Msg) -> None:
     """Recursive merge with protobuf ``text_format.Merge`` semantics:
-    singular message fields merge field-by-field, scalar fields are
-    overwritten, repeated fields are appended."""
+    singular message fields merge field-by-field, singular scalar fields
+    are overwritten, repeated fields (message or scalar) are appended.
+
+    Schema-less heuristic for "repeated": a field with multiple
+    occurrences on either side is treated as repeated (e.g.
+    ``pck_thresholds``); a single-occurrence scalar is treated as
+    singular and overwritten.
+    """
     for key, value in override.items():
         existing = base.get(key)
         if isinstance(value, Msg) and isinstance(existing, Msg) \
@@ -463,7 +469,10 @@ def _merge_msg(base: Msg, override: Msg) -> None:
                 and len(override.get_all(key)) == 1:
             _merge_msg(existing, value)
         elif not isinstance(value, Msg):
-            base.replace(key, value)
+            if len(base.get_all(key)) > 1 or len(override.get_all(key)) > 1:
+                base.add(key, value)  # repeated scalar: Merge appends
+            else:
+                base.replace(key, value)
         else:
             base.add(key, value)
 

@@ -79,6 +79,11 @@ class GenerationService:
         with self._stats_lock:  # += is not atomic across handler threads
             self.stats[key] += amount
 
+    def stats_snapshot(self) -> dict:
+        """Mutually-consistent copy of the counters (taken under the lock)."""
+        with self._stats_lock:
+            return dict(self.stats)
+
     # -- client side -----------------------------------------------------
 
     def generate(self, audio: np.ndarray, seed: Optional[np.ndarray] = None,
@@ -230,7 +235,7 @@ def _make_handler(service: GenerationService):
                 self._send(200, json.dumps(info).encode(),
                            "application/json")
             elif path == "/stats":
-                self._send(200, json.dumps(service.stats).encode(),
+                self._send(200, json.dumps(service.stats_snapshot()).encode(),
                            "application/json")
             else:
                 self._send(404, b"not found", "text/plain")

@@ -332,6 +332,12 @@ class Loader {
       if (len > (1ull << 31)) break;  // sane record-size cap (2 GB)
       buf.resize(len + 4);
       if (!in.read(reinterpret_cast<char*>(buf.data()), len + 4)) break;
+      // Verify the record-data CRC (trailing u32) like TF's RecordReader:
+      // a corrupted payload with intact framing must not be consumed as
+      // training data.
+      uint32_t data_crc;
+      std::memcpy(&data_crc, buf.data() + len, 4);
+      if (MaskedCrc(buf.data(), len) != data_crc) break;
 
       Example ex;
       if (!ParseExample(Slice{buf.data(), size_t(len)}, &ex)) continue;

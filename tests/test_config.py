@@ -142,3 +142,19 @@ def test_config_override_merges_recursively():
     ms = p2.train_config.learning_rate.manual_step_learning_rate
     assert ms.initial_learning_rate == 0.5
     assert len(ms.schedule) == 2  # file's repeated entries kept
+
+
+def test_override_repeated_scalar_appends():
+    """text_format.Merge APPENDS repeated scalar occurrences; singular
+    scalars are overwritten (last wins)."""
+    from mint_tpu.config.schema import _merge_msg
+
+    base = textproto.parse("pck_thresholds: 0.1 pck_thresholds: 0.2 a: 1")
+    over = textproto.parse("pck_thresholds: 0.3 a: 2")
+    _merge_msg(base, over)
+    assert base.get_all("pck_thresholds") == [0.1, 0.2, 0.3]
+    assert base.get_all("a") == [2]
+    # Override-side multi-occurrence is also a repeated field: append all.
+    base2 = textproto.parse("b: 7")
+    _merge_msg(base2, textproto.parse("b: 8 b: 9"))
+    assert base2.get_all("b") == [7, 8, 9]

@@ -212,6 +212,24 @@ def test_audio_shorter_than_motion_no_crash(tmp_path):
     ld.close()
 
 
+def test_corrupt_payload_data_crc_rejected(tmp_path):
+    """A flipped payload byte with intact framing (length + length-CRC
+    still valid) must fail the record-data CRC and never be consumed as
+    training data — matching TF's RecordReader."""
+    files = _write_shards(tmp_path, n_shards=1, per_shard=1)
+    with open(files[0], "r+b") as f:
+        f.seek(40)  # well inside the protobuf payload (starts at byte 12)
+        byte = f.read(1)
+        f.seek(40)
+        f.write(bytes([byte[0] ^ 0xFF]))
+    ld = native_loader.NativeTrainLoader(
+        files, batch_size=1, motion_input_len=10, target_len=3,
+        target_shift=10, audio_input_len=20, seed=9)
+    with pytest.raises(StopIteration):  # sole record rejected, shard dry
+        next(ld)
+    ld.close()
+
+
 def test_corrupt_length_field_stops_file(tmp_path):
     """A bit-flipped record length (bad length-CRC) must not abort the
     process; the rest of the stream is abandoned safely."""
