@@ -24,7 +24,7 @@ import numpy as np
 
 from mint_tpu.audio.spectral import hann_window
 
-_TINY = np.finfo(np.float32).tiny
+_TINY = np.finfo(np.float64).tiny  # librosa util.tiny for float64 inputs
 
 
 def tempo_frequencies(n: int, sr: int, hop_length: int) -> np.ndarray:
@@ -48,9 +48,11 @@ def tempogram(onset_envelope: np.ndarray, win_length: int) -> np.ndarray:
     env = np.pad(env, pad, mode="linear_ramp", end_values=0)
     # Frames [win_length, n] with hop 1.
     idx = np.arange(win_length)[:, None] + np.arange(n)[None, :]
-    frames = env[idx] * hann_window(win_length, fftbins=False)[:, None]
-    # Autocorrelation along axis 0 via rFFT.
-    n_fft = 2 * win_length
+    # librosa windows with get_window('hann', ..., fftbins=True): PERIODIC.
+    frames = env[idx] * hann_window(win_length, fftbins=True)[:, None]
+    # Autocorrelation along axis 0 via rFFT (librosa pads to 2N+1; any
+    # n_fft >= 2N-1 yields the identical linear autocorrelation).
+    n_fft = 2 * win_length + 1
     spec = np.fft.rfft(frames, n_fft, axis=0)
     ac = np.fft.irfft(spec * np.conj(spec), n_fft, axis=0)[:win_length]
     norm = np.abs(ac).max(axis=0, keepdims=True)
@@ -60,26 +62,35 @@ def tempogram(onset_envelope: np.ndarray, win_length: int) -> np.ndarray:
 def tempo(onset_envelope: np.ndarray, sr: int, hop_length: int = 512,
           start_bpm: float = 120.0, std_bpm: float = 1.0,
           ac_size: float = 8.0, max_tempo: float = 320.0) -> float:
-    """Global tempo estimate in BPM (librosa.beat.tempo)."""
+    """Global tempo estimate in BPM (librosa.beat.tempo).
+
+    librosa's exact selection arithmetic: argmax over
+    ``log1p(1e6 * tg) + logprior`` with a log-normal prior, lags faster
+    than ``max_tempo`` killed with -inf, and the lag-0 winner falling
+    back to ``start_bpm``.
+    """
     # librosa's time_to_frames FLOORS (8 s at sr/hop); round() would
     # shift every tempogram lag/BPM bin at non-integral rates.
     win_length = int(np.floor(ac_size * sr / hop_length))
     tg = tempogram(onset_envelope, win_length).mean(axis=1)
     bpms = tempo_frequencies(win_length, sr, hop_length)
-    prior = np.exp(-0.5 * ((np.log2(bpms) - np.log2(start_bpm))
-                           / std_bpm) ** 2)
+    with np.errstate(divide="ignore"):
+        logprior = -0.5 * ((np.log2(bpms) - np.log2(start_bpm))
+                           / std_bpm) ** 2
     if max_tempo is not None:
-        max_idx = int(np.argmax(bpms < max_tempo))
-        prior[:max_idx] = 0.0
-    prior[0] = 0.0  # lag 0 (bpm inf)
-    best = int(np.argmax(tg * prior))
+        logprior[bpms > max_tempo] = -np.inf
+    best = int(np.argmax(np.log1p(1e6 * tg) + logprior))
+    if best == 0:  # lag 0 (bpm inf): librosa falls back to start_bpm
+        return float(start_bpm)
     return float(bpms[best])
 
 
 def _beat_local_score(onset_envelope: np.ndarray,
                       period: int) -> np.ndarray:
     """Gaussian-smoothed onset envelope (librosa __beat_local_score)."""
-    env = onset_envelope / (onset_envelope.std(ddof=1) + _TINY)
+    std = onset_envelope.std(ddof=1)
+    # librosa divides only when std > 0 (a constant envelope is used raw).
+    env = onset_envelope / std if std > 0 else onset_envelope
     window = np.exp(-0.5 * (np.arange(-period, period + 1) * 32.0
                             / period) ** 2)
     return np.convolve(env, window, mode="same")
@@ -122,7 +133,10 @@ def _last_beat(cumscore: np.ndarray) -> int:
     if not lm.any():
         return len(cumscore) - 1
     med_score = np.median(cumscore[lm])
-    candidates = np.flatnonzero(lm & (cumscore * 2 > med_score))
+    # librosa: argwhere(cumscore * localmax * 2 > medscore).max() — the
+    # elementwise product (not a boolean &) also admits non-localmax
+    # zeros when the median score is negative.
+    candidates = np.flatnonzero(cumscore * lm * 2 > med_score)
     return int(candidates.max()) if len(candidates) else len(cumscore) - 1
 
 

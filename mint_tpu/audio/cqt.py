@@ -33,7 +33,7 @@ from mint_tpu.audio import device
 from mint_tpu.audio.spectral import hann_window, stft_magnitude
 
 C1_HZ = 32.70319566257483  # note_to_hz('C1')
-_TINY = np.finfo(np.float32).tiny
+_TINY = np.finfo(np.float64).tiny  # librosa util.tiny for float64
 
 
 # ---------------------------------------------------------------------------
@@ -57,28 +57,28 @@ def piptrack(y: np.ndarray, sr: int, n_fft: int = 2048,
     shift = np.zeros_like(S)
     avg[1:-1] = 0.5 * (S[2:] - S[:-2])
     shift[1:-1] = 2 * S[1:-1] - S[2:] - S[:-2]
-    shift = avg / (shift + (np.abs(shift) < _TINY))
+    shift = avg / (shift + (np.abs(shift) < np.finfo(S.dtype).tiny))
 
     pitches = np.zeros_like(S)
     mags = np.zeros_like(S)
     freq_bins = np.arange(S.shape[0])
     ref = threshold * S.max(axis=0, keepdims=True)
-    # Local maxima along the frequency axis above the per-frame threshold.
-    bigger_prev = np.zeros_like(S, dtype=bool)
-    bigger_next = np.zeros_like(S, dtype=bool)
-    bigger_prev[1:] = S[1:] > S[:-1]
-    bigger_next[:-1] = S[:-1] >= S[1:]
-    localmax = bigger_prev & bigger_next
+    # librosa: local maxima of the THRESHOLDED spectrum S*(S > ref) along
+    # frequency (edge-padded, so the top bin can be a max), restricted to
+    # fmin <= f < fmax (strict upper bound).
+    St = S * (S > ref)
+    Sp = np.pad(St, ((1, 1), (0, 0)), mode="edge")
+    localmax = (St > Sp[:-2]) & (St >= Sp[2:])
     fft_freqs = np.linspace(0, sr / 2, S.shape[0])
-    in_range = ((fft_freqs >= fmin) & (fft_freqs <= fmax))[:, None]
-    idx = np.where(localmax & (S > ref) & in_range)
+    in_range = ((fft_freqs >= fmin) & (fft_freqs < fmax))[:, None]
+    idx = np.where(localmax & in_range)
     pitches[idx] = (freq_bins[idx[0]] + shift[idx]) * sr / n_fft
     mags[idx] = S[idx] + 0.5 * avg[idx] * shift[idx]
     return pitches, mags
 
 
 def pitch_tuning(frequencies: np.ndarray, resolution: float = 0.01,
-                 bins_per_octave: int = 12) -> float:
+                 bins_per_octave: int = 36) -> float:
     """Histogram-mode tuning deviation in fractional bins."""
     frequencies = np.atleast_1d(frequencies)
     frequencies = frequencies[frequencies > 0]
@@ -92,11 +92,16 @@ def pitch_tuning(frequencies: np.ndarray, resolution: float = 0.01,
     return float(edges[np.argmax(counts)])
 
 
-def estimate_tuning(y: np.ndarray, sr: int, **kwargs) -> float:
+def estimate_tuning(y: np.ndarray, sr: int, bins_per_octave: int = 36,
+                    **kwargs) -> float:
+    """librosa.estimate_tuning.  ``bins_per_octave`` defaults to 36: the
+    chroma_cens -> chroma_cqt -> cqt chain estimates tuning at the CQT's
+    bin resolution (librosa cqt passes its own bins_per_octave through)."""
     pitches, mags = piptrack(y, sr, **kwargs)
     mask = pitches > 0
     threshold = np.median(mags[mask]) if mask.any() else 0.0
-    return pitch_tuning(pitches[(mags >= threshold) & mask])
+    return pitch_tuning(pitches[(mags >= threshold) & mask],
+                        bins_per_octave=bins_per_octave)
 
 
 # ---------------------------------------------------------------------------
@@ -111,26 +116,26 @@ def _cqt_kernels(sr: int, fmin: float, n_bins: int, bins_per_octave: int,
     """Frequency-domain CQT kernels.
 
     Returns (fft_basis [n_bins, n_fft//2+1] complex64, lengths [n_bins],
-    n_fft).  Filters are L1-normalized Hann-windowed complex exponentials
-    scaled by length/n_fft (librosa's __cqt_filter_fft convention).
+    n_fft).  Filter construction transcribes librosa filters.constant_q +
+    __cqt_filter_fft: complex exponentials over ``arange(-ilen//2,
+    ilen//2)`` of the FLOAT length (so filters span ceil(length) samples),
+    windowed with a PERIODIC Hann (get_window fftbins=True), L1
+    normalized, center-padded into the power-of-two n_fft, and scaled by
+    length/n_fft.
     """
     q = filter_scale / (2.0 ** (1.0 / bins_per_octave) - 1.0)
     freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
     lengths = q * sr / freqs
-    max_len = int(max(lengths))
-    n_fft = 1 << int(math.ceil(math.log2(max_len)))
+    n_fft = 1 << int(math.ceil(math.log2(max(lengths))))
 
     basis = np.zeros((n_bins, n_fft), np.complex128)
     for k, (f, flen) in enumerate(zip(freqs, lengths)):
-        ilen = int(np.floor(flen))
-        if ilen % 2 == 0:  # centered placement wants matched parity handling
-            ilen -= 1
-        t = np.arange(-(ilen // 2), ilen - ilen // 2)
-        sig = np.exp(2j * np.pi * f * t / sr) * hann_window(ilen,
-                                                            fftbins=False)
+        t = np.arange(-flen // 2, flen // 2, dtype=np.float64)
+        sig = np.exp(2j * np.pi * f * t / sr)
+        sig = sig * hann_window(len(sig), fftbins=True)
         sig /= np.sum(np.abs(sig))  # L1 norm
-        start = (n_fft - ilen) // 2
-        basis[k, start:start + ilen] = sig * (flen / n_fft)
+        start = (n_fft - len(sig)) // 2
+        basis[k, start:start + len(sig)] = sig * (flen / n_fft)
     fft_basis = np.fft.fft(basis, n_fft, axis=1)[:, :n_fft // 2 + 1]
     return fft_basis.astype(np.complex64), lengths.astype(np.float32), n_fft
 
@@ -276,20 +281,21 @@ def chroma_cqt(y: np.ndarray, sr: int, hop: int = 512, n_chroma: int = 12,
                       n_bins=n_octaves * bins_per_octave,
                       bins_per_octave=bins_per_octave)
     n_merge = bins_per_octave // n_chroma
-    # Fold with librosa cq_to_chroma's centering: the merge window for
-    # pitch class c is CENTERED on the semitone — bins [c*m - m//2,
-    # c*m + m - m//2) with wraparound — implemented by rolling the bin
-    # axis by m//2 before the block fold.
-    C = np.roll(C, n_merge // 2, axis=1)
+    # Fold per librosa filters.cq_to_chroma: pitch class c sums bins
+    # [c*m, (c+1)*m) in each octave with NO centering offset — with
+    # fmin=None the basis is C1 (midi 24), so the C-alignment roll is
+    # round(mod(24, 12) * n_chroma/12) = 0.
     C = C.reshape(C.shape[0], n_octaves, n_chroma, n_merge)
     return C.sum(axis=(1, 3))
 
 
-def chroma_cens(y: np.ndarray, sr: int, hop: int = 512,
-                n_chroma: int = 12, win_len_smooth: int = 41,
-                tuning: Optional[float] = None) -> np.ndarray:
-    """CENS chroma [frames, n_chroma] (librosa.feature.chroma_cens)."""
-    chroma = chroma_cqt(y, sr, hop=hop, n_chroma=n_chroma, tuning=tuning)
+def cens_from_chroma(chroma: np.ndarray,
+                     win_len_smooth: int = 41) -> np.ndarray:
+    """The CENS post-chain on a raw [frames, n_chroma] chroma
+    (librosa.feature.chroma_cens after its chroma_cqt call): per-frame L1
+    normalize, 4-level quantization (steps {0.4,0.2,0.1,0.05}, weight 0.25
+    each, strict >), symmetric-Hann(win+2) temporal smoothing with zero
+    ('fill') boundaries, per-frame L2 normalize."""
     chroma = _normalize(chroma, norm=1, axis=1)
 
     steps = np.array([0.4, 0.2, 0.1, 0.05])
@@ -308,3 +314,11 @@ def chroma_cens(y: np.ndarray, sr: int, hop: int = 512,
         out[:, c] = np.convolve(padded[:, c], win, mode="valid")[
             :chroma.shape[0]]
     return _normalize(out, norm=2, axis=1)
+
+
+def chroma_cens(y: np.ndarray, sr: int, hop: int = 512,
+                n_chroma: int = 12, win_len_smooth: int = 41,
+                tuning: Optional[float] = None) -> np.ndarray:
+    """CENS chroma [frames, n_chroma] (librosa.feature.chroma_cens)."""
+    chroma = chroma_cqt(y, sr, hop=hop, n_chroma=n_chroma, tuning=tuning)
+    return cens_from_chroma(chroma, win_len_smooth)

@@ -15,12 +15,13 @@ def peak_pick(x: np.ndarray, pre_max: int, post_max: int, pre_avg: int,
               post_avg: int, delta: float, wait: int) -> np.ndarray:
     """Indices i where x[i] is the max of [i-pre_max, i+post_max), is at
     least mean([i-pre_avg, i+post_avg)) + delta, and i is > `wait` past
-    the previously selected peak (librosa.util.peak_pick).
+    the previously selected peak (librosa.util.peak_pick, 0.8.x).
 
-    Window statistics use scipy's sliding filters with librosa's edge
-    modes: max with zero-padding ('constant'), mean with edge
-    replication ('nearest') — a truncated-window mean at clip edges
-    would flip borderline peaks near track boundaries.
+    Window statistics mirror librosa exactly: sliding max with
+    ``mode='constant', cval=-inf`` (truncated windows at the edges), and
+    a sliding mean whose boundary entries are explicitly recomputed as
+    truncated-window means (librosa's begin/end correction loops) — a
+    replicated-edge mean would flip borderline peaks near boundaries.
     """
     from scipy import ndimage
 
@@ -28,24 +29,35 @@ def peak_pick(x: np.ndarray, pre_max: int, post_max: int, pre_avg: int,
     n = len(x)
     max_len = max(1, pre_max + post_max)
     avg_len = max(1, pre_avg + post_avg)
-    # scipy's size-L window at origin o covers [i - L//2 + ... ]; the
-    # origin that realizes [i - pre, i + post) is ceil((pre - post)/2)
-    # (verified empirically against a direct loop; note it is NOT
-    # L//2 - pre — scipy origins shift the window the other way).
+    # librosa uses origin = ceil(0.5 * (pre - post)) for both filters.
     mov_max = ndimage.maximum_filter1d(
-        x, max_len, mode="constant",
-        origin=-((post_max - pre_max) // 2))
+        x, max_len, mode="constant", cval=-np.inf,
+        origin=int(np.ceil(0.5 * (pre_max - post_max))))
     mov_avg = ndimage.uniform_filter1d(
         x, avg_len, mode="nearest",
-        origin=-((post_avg - pre_avg) // 2))
-    candidates = np.flatnonzero((x == mov_max) & (x >= mov_avg + delta))
+        origin=int(np.ceil(0.5 * (pre_avg - post_avg))))
+    # Boundary corrections: librosa overwrites the leading entries
+    # (i < pre_avg) and trailing entries (i >= n - post_avg) with the
+    # true truncated-window means mean(x[max(0, i-pre_avg) : i+post_avg]).
+    i = 0
+    while i - pre_avg < 0 and i < n:
+        start = max(0, i - pre_avg)
+        mov_avg[i] = np.mean(x[start:i + post_avg])
+        i += 1
+    i = max(0, n - post_avg)
+    while i < n:
+        start = max(0, i - pre_avg)
+        mov_avg[i] = np.mean(x[start:i + post_avg])
+        i += 1
+    # librosa: detections = x*(x == mov_max); keep where >= mov_avg+delta.
+    detections = x * (x == mov_max)
+    detections = detections * (detections >= mov_avg + delta)
     peaks = []
-    last = -1 - wait
-    for i in candidates:
-        if i - last <= wait:
-            continue
-        last = int(i)
-        peaks.append(last)
+    last = -np.inf
+    for i in np.nonzero(detections)[0]:
+        if i > last + wait:
+            last = int(i)
+            peaks.append(last)
     return np.asarray(peaks, np.int64)
 
 
@@ -60,9 +72,8 @@ def onset_detect(onset_envelope: np.ndarray, sr: int,
     if not env.any() or not np.all(np.isfinite(env)):
         return np.asarray([], np.int64)
     env = env - env.min()
-    m = env.max()
-    if m > 0:
-        env = env / m
+    # librosa max-scales with a tiny-offset denominator (never branches).
+    env = env / (env.max() + np.finfo(env.dtype).tiny)
     # librosa's time-based defaults, in frames (integer floor division):
     pre_max = int(0.03 * sr // hop_length)        # 30 ms
     post_max = int(0.0 * sr // hop_length + 1)    # 0 ms

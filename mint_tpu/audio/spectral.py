@@ -141,12 +141,13 @@ def power_to_db(S: jax.Array, ref=1.0, amin: float = 1e-10,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sr", "n_fft", "hop", "n_mels"))
+                   static_argnames=("sr", "n_fft", "hop", "n_mels", "fmax"))
 def melspectrogram(y: jax.Array, sr: int, n_fft: int = 2048, hop: int = 512,
-                   n_mels: int = 128) -> jax.Array:
+                   n_mels: int = 128,
+                   fmax: Optional[float] = None) -> jax.Array:
     """Power mel spectrogram [frames, n_mels]."""
     S = stft_power(y, n_fft, hop)
-    mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmax=fmax))
     return S @ mel.T
 
 
@@ -162,17 +163,25 @@ def mfcc(y: jax.Array, sr: int, n_mfcc: int = 20, n_fft: int = 2048,
 
 @functools.partial(jax.jit,
                    static_argnames=("sr", "n_fft", "hop", "lag", "n_mels",
-                                    "center"))
+                                    "center", "fmax"))
 def onset_strength(y: jax.Array, sr: int, n_fft: int = 2048, hop: int = 512,
                    lag: int = 1, n_mels: int = 128,
-                   center: bool = True) -> jax.Array:
+                   center: bool = True,
+                   fmax: Optional[float] = 11025.0) -> jax.Array:
     """Spectral-flux onset envelope [frames] (librosa.onset.onset_strength).
 
     Mean over mel bands of the positive lag-difference of the dB mel
     spectrogram, shifted by ``n_fft // (2*hop) + lag`` frames (librosa's
     centered compensation) and trimmed to the frame count.
+
+    ``fmax`` defaults to 11025.0 Hz — librosa 0.8.x's
+    ``onset_strength_multi`` hardcodes ``kwargs.setdefault("fmax",
+    11025.0)`` for its internal melspectrogram regardless of ``sr`` (the
+    reference's era; later librosa switched to sr/2).  At the reference's
+    sr=30720 this shapes the mel bank and hence the envelope, onset peaks,
+    and beats.
     """
-    S = power_to_db(melspectrogram(y, sr, n_fft, hop, n_mels),
+    S = power_to_db(melspectrogram(y, sr, n_fft, hop, n_mels, fmax=fmax),
                     ref=jnp.asarray(1.0))
     diff = S[lag:] - S[:-lag]
     env = jnp.mean(jnp.maximum(0.0, diff), axis=-1)

@@ -123,15 +123,21 @@ class TestChroma:
             cqt_lib.chroma_cens(_tone(440, 0.5, SR), SR, tuning=0.0)
 
     def test_tuning_estimate_centered_tone(self):
+        # A4 sits exactly on the 36-bpo grid, but piptrack's parabolic
+        # interpolation carries ~0.3% frequency bias, which 36-bpo tuning
+        # amplifies 3x vs semitone tuning — librosa shows the same
+        # +-0.1-bin noise on pure tones.
         y = _tone(440, 1.0, SR)
         tuning = cqt_lib.estimate_tuning(y, SR)
-        assert abs(tuning) <= 0.05
+        assert abs(tuning) <= 0.15
 
     def test_tuning_estimate_detuned_tone(self):
-        # Quarter-semitone sharp A4: 440 * 2**(0.25/12).
+        # Quarter-semitone sharp A4: 440 * 2**(0.25/12).  Tuning is in
+        # fractional 36-bpo CQT bins (the cqt chain's resolution): +0.25
+        # semitone = +0.75 bins, which wraps to a -0.25-bin residual.
         y = _tone(440 * 2 ** (0.25 / 12), 1.0, SR)
         tuning = cqt_lib.estimate_tuning(y, SR)
-        assert 0.15 <= tuning <= 0.35
+        assert -0.35 <= tuning <= -0.15
 
 
 def _click_track(bpm, dur, sr):
