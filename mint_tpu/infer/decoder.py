@@ -65,10 +65,11 @@ def _embed(model: FACT, params, name: str, x: jax.Array) -> jax.Array:
     return model.apply(params, method=run)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "steps"))
+@functools.partial(jax.jit, static_argnames=("model", "steps", "unroll"))
 def infer_auto_regressive(model: FACT, params,
                           inputs: Dict[str, jax.Array],
-                          steps: int = 1200) -> jax.Array:
+                          steps: int = 1200,
+                          unroll: int = 8) -> jax.Array:
     """Batched AR generation (protocol parity with fact_model.py:103-132).
 
     Args:
@@ -80,6 +81,11 @@ def infer_auto_regressive(model: FACT, params,
         the audio window would run past the end; with a static scan we
         instead require T_audio >= steps + audio_seq - 1 and callers
         pre-truncate `steps` accordingly (see :func:`max_steps`).
+      unroll: ``lax.scan`` unroll factor (XLA sees `unroll` consecutive
+        steps per loop iteration, enabling cross-step scheduling).
+        Measured on TPU v5e at the bench protocol (40x1200, bf16):
+        unroll 1/2/4/8/12 -> 28.3/28.3/26.5/25.6/25.6 ms per step; 8 is
+        the plateau (+11% throughput) and the default.
 
     Returns:
       [B, steps, motion_dim] generated frames.
@@ -111,7 +117,8 @@ def infer_auto_regressive(model: FACT, params,
         motion_emb = jnp.concatenate([motion_emb[:, 1:, :], new_emb], axis=1)
         return motion_emb, frame[:, 0, :]
 
-    _, frames = jax.lax.scan(step, motion_emb, jnp.arange(steps))
+    _, frames = jax.lax.scan(step, motion_emb, jnp.arange(steps),
+                             unroll=unroll)
     # frames: [steps, B, motion_dim] -> [B, steps, motion_dim]
     return jnp.transpose(frames, (1, 0, 2))
 

@@ -20,10 +20,8 @@ MODEL_BUILDER_MAP = {
 
 
 def build(model_config: MultiModalModelConfig, is_training: bool,
-          use_pallas: bool = False,
           compute_dtype: jnp.dtype = jnp.float32):
     """Build a model from a MultiModalModel config (dispatch on the oneof)."""
     model_type = model_config.which()
     build_func = MODEL_BUILDER_MAP[model_type]
-    return build_func(model_config, is_training, use_pallas=use_pallas,
-                      compute_dtype=compute_dtype)
+    return build_func(model_config, is_training, compute_dtype=compute_dtype)

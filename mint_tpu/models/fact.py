@@ -31,7 +31,6 @@ class FACT(nn.Module):
     """FACT model; construct with a :class:`FACTModelConfig`."""
 
     config: FACTModelConfig
-    use_pallas: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -56,8 +55,7 @@ class FACT(nn.Module):
                 "cross_modal_concat_dim %s is not supported."
                 % cm.cross_modal_concat_dim)
 
-        kw = dict(use_pallas=self.use_pallas,
-                  compute_dtype=self.compute_dtype)
+        kw = dict(compute_dtype=self.compute_dtype)
         self.motion_linear_embedding = layers.LinearEmbedding(
             motion_tf.hidden_size, compute_dtype=self.compute_dtype)
         self.motion_pos_embedding = layers.PositionEmbedding(

@@ -63,7 +63,6 @@ class Attention(nn.Module):
 
     dim: int
     heads: int = 8
-    use_pallas: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,13 +75,19 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim // self.heads)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
         q, k, v = qkv[0], qkv[1], qkv[2]
-        out = multi_head_attention(q, k, v, scale, use_pallas=self.use_pallas)
+        out = multi_head_attention(q, k, v, scale)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, self.dim)
         return Dense(self.dim, name="to_out", dtype=self.compute_dtype)(out)
 
 
 class MLP(nn.Module):
-    """GELU feedforward (base_models.py:45-57)."""
+    """GELU feedforward (base_models.py:45-57).
+
+    Always the plain XLA composition: the fused Pallas alternative
+    (mint_tpu/ops/mlp.py) wins 26% in isolation but LOSES ~7% embedded in
+    the full model at FACT shapes — measured analysis in
+    docs/BENCHMARKS.md ("Why the model ships with XLA kernels").
+    """
 
     out_dim: int
     hidden_dim: int
@@ -101,7 +106,6 @@ class Block(nn.Module):
     hidden_size: int
     num_heads: int
     intermediate_size: int
-    use_pallas: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,7 +113,6 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, name="norm_attn",
                          dtype=self.compute_dtype)(x)
         x = x + Attention(self.hidden_size, self.num_heads,
-                          use_pallas=self.use_pallas,
                           compute_dtype=self.compute_dtype,
                           name="attn")(h)
         h = nn.LayerNorm(epsilon=1e-5, name="norm_mlp",
@@ -127,14 +130,13 @@ class Transformer(nn.Module):
     num_attention_heads: int = 12
     intermediate_size: int = 3072
     initializer_range: float = 0.02
-    use_pallas: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i in range(self.num_hidden_layers):
             x = Block(self.hidden_size, self.num_attention_heads,
-                      self.intermediate_size, use_pallas=self.use_pallas,
+                      self.intermediate_size,
                       compute_dtype=self.compute_dtype,
                       name=f"block_{i}")(x)
         return x
@@ -201,7 +203,6 @@ class CrossModalLayer(nn.Module):
     intermediate_size: int
     out_dim: int
     output_initializer_range: float = 0.02
-    use_pallas: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -217,7 +218,6 @@ class CrossModalLayer(nn.Module):
             num_hidden_layers=self.num_hidden_layers,
             num_attention_heads=self.num_attention_heads,
             intermediate_size=self.intermediate_size,
-            use_pallas=self.use_pallas,
             compute_dtype=self.compute_dtype,
             name="transformer")(merged)
         logits = nn.Dense(
