@@ -186,13 +186,17 @@ def create_input(train_eval_config, dataset_config: DatasetConfig,
                  is_training: bool = True, use_tpu: bool = True,
                  seed: Optional[int] = None,
                  data_files: Optional[Sequence[str]] = None,
-                 prefetch: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                 prefetch: bool = True,
+                 batch_size_override: Optional[int] = None
+                 ) -> Iterator[Dict[str, np.ndarray]]:
     """Batched input iterator (reference inputs.create_input, inputs.py:20).
 
     Training: endless shuffled(100) windows, fixed batches, drop remainder.
     Eval: one sequential pass; remainder kept unless use_tpu.
+    ``batch_size_override`` serves multi-host training, where each host
+    loads global_batch / process_count examples (tools/train.py).
     """
-    batch_size = train_eval_config.batch_size
+    batch_size = batch_size_override or train_eval_config.batch_size
     files = (list(data_files) if data_files is not None
              else tfrecord.glob(dataset_config.data_files))
     if not files:

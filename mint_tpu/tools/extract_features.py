@@ -31,6 +31,14 @@ flags.DEFINE_string("save_dir", "./data/aist_features/",
 flags.DEFINE_integer("workers", 12, "Process pool size (0 = inline).")
 
 
+def _worker_init() -> None:
+    """Pin pool workers to the CPU backend: forked workers cannot
+    re-initialize a tunneled TPU plugin, and SMPL FK on [T,24] joints is
+    CPU-cheap (same recipe as tools/preprocessing.py)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
 def _process(seq_name: str, motion_dir: str, model: SMPLModel,
              save_dir: str) -> None:
     logging.info("processing %s", seq_name)
@@ -56,7 +64,8 @@ def main(_):
                  + aist.load_split(FLAGS.anno_dir, "testval"))
     motion_dir = os.path.join(FLAGS.anno_dir, "motions")
     if FLAGS.workers:
-        with multiprocessing.Pool(FLAGS.workers) as pool:
+        with multiprocessing.Pool(FLAGS.workers,
+                                  initializer=_worker_init) as pool:
             pool.starmap(_process, [(s, motion_dir, model, FLAGS.save_dir)
                                     for s in seq_names])
     else:

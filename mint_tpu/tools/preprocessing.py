@@ -40,6 +40,19 @@ flags.DEFINE_integer("audio_workers", 4,
 RNG = np.random.RandomState(42)
 
 
+def _worker_init() -> None:
+    """Pool-worker initializer: pin JAX to the CPU backend.
+
+    Forked workers cannot re-initialize a tunneled TPU plugin (the parent
+    owns the single-tenant connection), and audio DSP runs on CPU by
+    default anyway; flip ``jax_platforms`` through the config API before
+    any backend initializes (env vars are too late — see CLAUDE.md).
+    """
+    if os.environ.get("MINT_TPU_AUDIO_DEVICE", "cpu") != "tpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def _extract_one(args) -> None:
     """Worker: cache one music's features (own process, own JAX init)."""
     audio_dir, cache_dir, name = args
@@ -87,7 +100,8 @@ def main(_):
     audio_names = sorted({aist.audio_name_of(s) for s in seq_names})
     if FLAGS.audio_workers:
         import multiprocessing
-        with multiprocessing.Pool(FLAGS.audio_workers) as pool:
+        with multiprocessing.Pool(FLAGS.audio_workers,
+                                  initializer=_worker_init) as pool:
             pool.map(_extract_one,
                      [(FLAGS.audio_dir, FLAGS.audio_cache_dir, name)
                       for name in audio_names])

@@ -55,7 +55,20 @@ flags.DEFINE_enum("input_backend", "auto", ["auto", "native", "python"],
 
 
 def _make_input(train_config, dataset_config):
-    """Training batches: native C++ loader when available, else Python."""
+    """Training batches: native C++ loader when available, else Python.
+
+    Multi-host: the config's ``batch_size`` is the GLOBAL batch (the
+    reference's distribute-strategy semantics); each host loads
+    batch_size / process_count examples with a per-process shuffle seed,
+    and ``Trainer.shard_batch`` assembles the global array.
+    """
+    nproc = jax.process_count()
+    if train_config.batch_size % nproc:
+        raise ValueError(
+            f"global batch_size {train_config.batch_size} is not divisible "
+            f"by process_count {nproc}")
+    local_batch = train_config.batch_size // nproc
+    seed = 1000003 * jax.process_index()  # decorrelate host shuffles
     backend = FLAGS.input_backend
     if backend in ("auto", "native"):
         from mint_tpu.data import native_loader, tfrecord
@@ -70,31 +83,46 @@ def _make_input(train_config, dataset_config):
             logging.info("using native input loader (%d shards)",
                          len(files))
             return native_loader.NativeTrainLoader(
-                files, batch_size=train_config.batch_size,
+                files, batch_size=local_batch,
                 motion_input_len=params["motion"]["input_length"],
                 target_len=params["motion"]["target_length"],
                 target_shift=params["motion"]["target_shift"],
                 audio_input_len=params["audio"]["input_length"],
                 motion_dim_raw=params["motion"]["feature_dim"],
-                audio_dim=params["audio"]["feature_dim"])
+                audio_dim=params["audio"]["feature_dim"],
+                seed=seed)
         if backend == "native":
             raise RuntimeError(
                 f"native loader unavailable: {native_loader.build_error()}")
         logging.warning("native loader unavailable (%s); Python pipeline",
                         native_loader.build_error())
     return data_pipeline.create_input(train_config, dataset_config,
-                                      is_training=True)
+                                      is_training=True,
+                                      seed=seed if nproc > 1 else None,
+                                      batch_size_override=(
+                                          local_batch if nproc > 1 else None))
 
 
 flags.DEFINE_bool("distributed", False,
                   "Multi-host: call jax.distributed.initialize() so the "
                   "mesh spans all hosts (DCN between hosts, ICI within; "
                   "the reference's TPUClusterResolver equivalent).")
+flags.DEFINE_string("coordinator_address", None,
+                    "host:port of process 0 for --distributed; None = "
+                    "auto-detect from the cluster environment (TPU pods, "
+                    "SLURM, ...).")
+flags.DEFINE_integer("num_processes", None,
+                     "Process count for --distributed manual bring-up.")
+flags.DEFINE_integer("process_id", None,
+                     "This process's id for --distributed manual bring-up.")
 
 
 def train():
     if FLAGS.distributed:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=FLAGS.coordinator_address,
+            num_processes=FLAGS.num_processes,
+            process_id=FLAGS.process_id)
     pipeline = load_pipeline_config(FLAGS.config_path)
     train_config = pipeline.train_config
     # Snapshot the effective config into the model dir (reference

@@ -19,9 +19,16 @@ class CheckpointManager:
     def __init__(self, directory: str, save_interval_steps: int = 1000,
                  max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
+        self.save_interval_steps = save_interval_steps
         os.makedirs(self.directory, exist_ok=True)
+        # Interval gating is done HERE with tf.train.CheckpointManager
+        # semantics ("interval elapsed since the last save"), not via
+        # orbax's save_interval_steps option: orbax's FixedIntervalPolicy
+        # only fires on exact step multiples, and the controller offers
+        # steps at loop boundaries (1, 1+loop, ...) which need never hit a
+        # multiple — the reference's orbit/TF manager saves whenever the
+        # interval has elapsed.
         options = ocp.CheckpointManagerOptions(
-            save_interval_steps=save_interval_steps,
             max_to_keep=max_to_keep,
             enable_async_checkpointing=True,
         )
@@ -30,8 +37,12 @@ class CheckpointManager:
     def save(self, step: int, state: Any, force: bool = False) -> bool:
         if step in self._mgr.all_steps():
             return False  # already saved (e.g. force-save after interval)
+        last = self._mgr.latest_step()
+        if not force and last is not None \
+                and step - last < self.save_interval_steps:
+            return False
         return self._mgr.save(step, args=ocp.args.StandardSave(state),
-                              force=force)
+                              force=True)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -102,19 +102,32 @@ class Trainer:
         return TrainState(step=step, params=params, opt_state=opt_state)
 
     def shard_batch(self, batch: Dict[str, jax.Array]):
-        """Device-put numeric features across the data axis.
+        """Shard numeric features across the data axis.
 
         Non-numeric fields (clip/music name strings kept by the input
         pipeline for eval parity) are dropped — the train step consumes
         only tensors (reference single_task_trainer.py:141-155).
+
+        Multi-host: each process passes its LOCAL slice of the global
+        batch (per-host batch = global / process_count, see
+        tools/train.py) and ``make_array_from_process_local_data``
+        assembles the global sharded array — hosts contribute DIFFERENT
+        examples, which is what data parallelism across hosts means.
+        ``device_put`` with a cross-process sharding would instead demand
+        identical data on every host.
         """
         import numpy as np
         sharding = mesh_lib.batch_sharding(self.mesh)
+        multiprocess = jax.process_count() > 1
         out = {}
         for key, value in batch.items():
             arr = np.asarray(value)
             if arr.dtype.kind in "fiub":
-                out[key] = jax.device_put(arr, sharding)
+                if multiprocess:
+                    out[key] = jax.make_array_from_process_local_data(
+                        sharding, arr)
+                else:
+                    out[key] = jax.device_put(arr, sharding)
         return out
 
     def _build_step(self, state: TrainState, batch):

@@ -1,5 +1,7 @@
 """Native C++ data loader tests: CRC parity, windowing contract, shapes."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -227,6 +229,24 @@ def test_corrupt_payload_data_crc_rejected(tmp_path):
         target_shift=10, audio_input_len=20, seed=9)
     with pytest.raises(StopIteration):  # sole record rejected, shard dry
         next(ld)
+    ld.close()
+
+
+def test_shard_truncated_mid_record_other_shards_serve(tmp_path):
+    """A shard cut off in the middle of a record (e.g. a partial copy):
+    the loader abandons it at the truncation point and keeps serving the
+    intact shard."""
+    files = _write_shards(tmp_path, n_shards=2, per_shard=4)
+    size = os.path.getsize(files[0])
+    with open(files[0], "r+b") as f:
+        f.truncate(size - 100)  # cut inside the final record body
+    ld = native_loader.NativeTrainLoader(
+        files, batch_size=4, motion_input_len=10, target_len=3,
+        target_shift=10, audio_input_len=20, seed=7)
+    for _ in range(5):  # several batches: loops shards without hanging
+        batch = next(ld)
+        assert batch["motion_input"].shape == (4, 10, 225)
+        assert np.isfinite(batch["motion_input"]).all()
     ld.close()
 
 

@@ -148,3 +148,58 @@ class TestHTTP:
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(f"{server}/nope")
         assert err.value.code == 404
+
+    # -- adversarial request bodies (server must answer, then keep
+    #    serving the next well-formed request) ---------------------------
+
+    def _assert_error_then_recovery(self, server, body, headers=None):
+        req = urllib.request.Request(f"{server}/generate", data=body,
+                                     method="POST")
+        for k, v in (headers or {}).items():
+            req.add_header(k, v)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code in (400, 500), err.value.code
+        json.loads(err.value.read())  # structured error body
+        # The server must still serve after the bad request.
+        audio = RNG.standard_normal((40, 35)).astype(np.float32)
+        good = urllib.request.Request(f"{server}/generate?steps=4",
+                                      data=_npy(audio), method="POST")
+        with urllib.request.urlopen(good) as r:
+            assert np.load(io.BytesIO(r.read())).shape == (4, 225)
+
+    def test_garbage_body(self, server):
+        self._assert_error_then_recovery(server, b"\x00garbage" * 30)
+
+    def test_truncated_npy_body(self, server):
+        whole = _npy(RNG.standard_normal((40, 35)).astype(np.float32))
+        self._assert_error_then_recovery(server, whole[:len(whole) // 3])
+
+    def test_empty_body(self, server):
+        self._assert_error_then_recovery(server, b"")
+
+    def test_truncated_second_blob(self, server):
+        audio = _npy(RNG.standard_normal((40, 35)).astype(np.float32))
+        seed = _npy(RNG.standard_normal((12, 225)).astype(np.float32))
+        self._assert_error_then_recovery(server, audio + seed[:-40])
+
+    def test_mid_batch_client_disconnect(self, server):
+        """A client that hangs up before its response is written must not
+        take down the handler thread or corrupt the batch for others."""
+        import socket
+        from urllib.parse import urlparse
+
+        host, port = urlparse(server).netloc.split(":")
+        audio = _npy(RNG.standard_normal((40, 35)).astype(np.float32))
+        s = socket.create_connection((host, int(port)))
+        s.sendall(b"POST /generate?steps=6 HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Length: %d\r\n\r\n" % len(audio))
+        s.sendall(audio)
+        s.close()  # hang up without reading the response
+        # A concurrent + a subsequent request must still succeed.
+        for _ in range(2):
+            good = urllib.request.Request(f"{server}/generate?steps=4",
+                                          data=_npy(np.load(io.BytesIO(
+                                              audio))), method="POST")
+            with urllib.request.urlopen(good, timeout=120) as r:
+                assert np.load(io.BytesIO(r.read())).shape == (4, 225)

@@ -158,6 +158,38 @@ def test_controller_trains_and_checkpoints(tmp_path):
     ctl2.close()
 
 
+def test_interval_checkpoints_fire_off_multiple_boundaries(tmp_path):
+    """Loop boundaries after the warm-up train(1) are 1, 1+loop, ... and
+    need never hit an exact interval multiple; the manager must still
+    save whenever the interval has ELAPSED since the last save (orbit /
+    tf.train.CheckpointManager semantics).  Regression: with orbax's
+    FixedIntervalPolicy gating, NO interval checkpoint ever fired and a
+    preemption lost the entire run since step 1."""
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+    rng = np.random.RandomState(4)
+    batch = trainer.shard_batch(make_batch(rng, 8, model))
+
+    def batches():
+        while True:
+            yield batch
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=20,
+                            max_to_keep=5)
+    ctl = Controller(trainer=trainer, train_iter=batches(), state=state,
+                     steps_per_loop=10, checkpoint_manager=mgr,
+                     summary_dir=str(tmp_path / "s"), summary_interval=10)
+    ctl.train(1)   # production bring-up pattern (tools/train.py)
+    ctl.train(45)  # boundaries at 11, 21, 31, 41, 45
+    ctl.close()
+    steps = sorted(int(d) for d in os.listdir(tmp_path / "ckpt")
+                   if d.isdigit())
+    # 1 (initial), 21 (first boundary >= 1+20), 41 (>= 21+20).
+    assert steps == [1, 21, 41], steps
+
+
 def _acc_setup():
     model = build(tiny_cfg(), is_training=True)
     params = init_params(model, jax.random.PRNGKey(0), batch_size=1)
