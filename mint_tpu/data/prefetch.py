@@ -1,0 +1,79 @@
+"""Background device prefetch for training input.
+
+The train loop's critical path is otherwise: next(loader) on host ->
+shard_batch (host->device transfer) -> train_step.  On hosts where the
+transfer is slow relative to the step (e.g. a tunneled chip, or big
+batches over PCIe), serializing these costs real throughput.  This
+wrapper runs the loader + transfer in a daemon thread, keeping `depth`
+batches already resident on device, so the accelerator never waits on
+the host (the standard JAX input-pipeline recipe; the reference gets the
+equivalent from tf.data's prefetch-to-device).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+
+class DevicePrefetcher:
+    """Iterator wrapper: applies `place` (e.g. Trainer.shard_batch) to
+    upstream items in a background thread, `depth` items ahead."""
+
+    _DONE = object()
+
+    def __init__(self, upstream: Iterator, place: Callable, depth: int = 2):
+        self._upstream = upstream
+        self._place = place
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self._upstream:
+                if self._stop.is_set():
+                    return
+                placed = self._place(item)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(placed, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # propagate into the consumer
+            self._err = e
+        finally:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(self._DONE, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        # Drain so the producer unblocks, then join.
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
+        close = getattr(self._upstream, "close", None)
+        if close is not None:
+            close()

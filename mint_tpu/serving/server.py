@@ -53,19 +53,24 @@ class GenerationService:
 
     def __init__(self, model: FACT, params, batch_window_ms: float = 10.0,
                  max_batch: int = 32, default_steps: int = 1200,
-                 steps_bucket: int = 128):
+                 steps_bucket: int = 128, unroll: int = 8):
         """`steps_bucket` quantizes generation lengths upward so XLA
         compiles one decoder per (batch-bucket, steps-bucket) instead of
         one per distinct client audio length; extra frames use zero
         audio padding and are trimmed before returning (exact: frame i
         only reads audio [i, i+window), which is fully real for i <
-        requested steps)."""
+        requested steps).
+
+        `unroll` is the decode-scan unroll factor: 8 maximizes warm
+        throughput (+11%, docs/BENCHMARKS.md); drop to 1 when per-bucket
+        cold-compile latency matters more than steady-state throughput."""
         self.model = model
         self.params = params
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
         self.default_steps = default_steps
         self.steps_bucket = max(1, steps_bucket)
+        self.unroll = unroll
         self.motion_dim = (
             model.config.cross_modal_model.output_layer.out_dim)
         self.stats = {"requests": 0, "batches": 0, "generated_frames": 0}
@@ -189,7 +194,7 @@ class GenerationService:
                 out = np.asarray(decoder.infer_auto_regressive(
                     self.model, self.params,
                     {"motion_input": motion, "audio_input": audio},
-                    steps=n_steps))
+                    steps=n_steps, unroll=self.unroll))
                 self._bump("batches")
                 for i, req in enumerate(reqs):
                     req_steps = decoder.max_steps(

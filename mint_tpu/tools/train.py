@@ -152,7 +152,11 @@ def train():
     state = trainer.init_state(params)
 
     data_iter = _make_input(train_config, pipeline.train_dataset)
-    sharded_iter = (trainer.shard_batch(b) for b in data_iter)
+    # Load + host->device transfer run in a background thread, two
+    # batches ahead, so the chip never waits on input
+    # (mint_tpu/data/prefetch.py; tf.data prefetch-to-device equivalent).
+    from mint_tpu.data.prefetch import DevicePrefetcher
+    sharded_iter = DevicePrefetcher(data_iter, trainer.shard_batch)
 
     manager = CheckpointManager(
         FLAGS.model_dir, save_interval_steps=FLAGS.checkpoint_interval,
@@ -172,6 +176,7 @@ def train():
     controller.train(FLAGS.steps)
     controller.save_checkpoint()
     controller.close()
+    sharded_iter.close()
 
 
 def main(_):
