@@ -71,6 +71,12 @@ def params_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[loop, batch, ...] stacks: loop axis replicated (scanned over),
+    batch axis split across the data axis."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch dim sharded over the data axis, replicated over model."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -152,11 +152,12 @@ def train():
     state = trainer.init_state(params)
 
     data_iter = _make_input(train_config, pipeline.train_dataset)
-    # Load + host->device transfer run in a background thread, two
-    # batches ahead, so the chip never waits on input
-    # (mint_tpu/data/prefetch.py; tf.data prefetch-to-device equivalent).
+    # The loader runs in a background thread, two batches ahead
+    # (mint_tpu/data/prefetch.py); the controller fuses each
+    # steps_per_loop window into one lax.scan dispatch, so batches stay
+    # on host until the (single) fused transfer.
     from mint_tpu.data.prefetch import DevicePrefetcher
-    sharded_iter = DevicePrefetcher(data_iter, trainer.shard_batch)
+    sharded_iter = DevicePrefetcher(data_iter, lambda b: b)
 
     manager = CheckpointManager(
         FLAGS.model_dir, save_interval_steps=FLAGS.checkpoint_interval,
@@ -166,7 +167,8 @@ def train():
         steps_per_loop=FLAGS.steps_per_loop,
         checkpoint_manager=manager,
         summary_dir=os.path.join(FLAGS.model_dir, "train"),
-        summary_interval=FLAGS.summary_interval)
+        summary_interval=FLAGS.summary_interval,
+        fuse_loop=True)
 
     # Reference runs a single step first to bring everything up, then the
     # rest (trainer.py:177-178); train() is ABSOLUTE (until global_step

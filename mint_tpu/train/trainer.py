@@ -73,6 +73,7 @@ class Trainer:
                 self.optimizer, every_k_schedule=accumulate_steps)
 
         self._step_fn = None
+        self._multi_fn: Dict[int, Any] = {}
 
     def init_state(self, params) -> TrainState:
         """Build a TrainState with params/opt state laid out on the mesh."""
@@ -130,7 +131,7 @@ class Trainer:
                     out[key] = jax.device_put(arr, sharding)
         return out
 
-    def _build_step(self, state: TrainState, batch):
+    def _make_step_fn(self):
         model = self.model
         optimizer = self.optimizer
         schedule = self.schedule
@@ -164,12 +165,17 @@ class Trainer:
             }
             return new_state, metrics
 
-        state_shardings = jax.tree_util.tree_map(
-            lambda x: x.sharding, state)
+        return step_fn
+
+    def _state_shardings(self, state: TrainState):
+        return jax.tree_util.tree_map(lambda x: x.sharding, state)
+
+    def _build_step(self, state: TrainState, batch):
+        state_shardings = self._state_shardings(state)
         batch_shardings = jax.tree_util.tree_map(
             lambda x: mesh_lib.batch_sharding(self.mesh), batch)
         return jax.jit(
-            step_fn,
+            self._make_step_fn(),
             in_shardings=(state_shardings, batch_shardings),
             out_shardings=(state_shardings, None),
             donate_argnums=(0,),
@@ -180,3 +186,47 @@ class Trainer:
         if self._step_fn is None:
             self._step_fn = self._build_step(state, batch)
         return self._step_fn(state, batch)
+
+    # -- fused multi-step loop -------------------------------------------
+
+    def stack_batches(self, batches) -> Dict[str, Any]:
+        """Stack `loop` host batches into [loop, batch, ...] arrays
+        (numeric features only, like shard_batch)."""
+        import numpy as np
+        keys = [k for k, v in batches[0].items()
+                if np.asarray(v).dtype.kind in "fiub"]
+        return {k: np.stack([np.asarray(b[k]) for b in batches])
+                for k in keys}
+
+    def train_steps(self, state: TrainState, stacked: Dict[str, Any]
+                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """Run ``stacked[...].shape[0]`` train steps as ONE compiled
+        ``lax.scan`` dispatch (orbit wraps its steps_per_loop loop in a
+        single tf.function the same way).  Numerically the same update
+        sequence as `loop` train_step calls; returns the LAST step's
+        metrics (matching the per-step loop's reporting).
+        """
+        loop = next(iter(stacked.values())).shape[0]
+        if self._multi_fn.get(loop) is None:
+            step_fn = self._make_step_fn()
+
+            def loop_fn(state, stacked):
+                def body(s, b):
+                    s2, m = step_fn(s, b)
+                    return s2, m
+
+                state, ms = jax.lax.scan(body, state, stacked)
+                last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+                return state, last
+
+            state_shardings = self._state_shardings(state)
+            stacked_shardings = jax.tree_util.tree_map(
+                lambda x: mesh_lib.stacked_batch_sharding(self.mesh),
+                stacked)
+            self._multi_fn[loop] = jax.jit(
+                loop_fn,
+                in_shardings=(state_shardings, stacked_shardings),
+                out_shardings=(state_shardings, None),
+                donate_argnums=(0,),
+            )
+        return self._multi_fn[loop](state, stacked)

@@ -158,6 +158,38 @@ def test_controller_trains_and_checkpoints(tmp_path):
     ctl2.close()
 
 
+def test_fused_loop_matches_per_step():
+    """Controller(fuse_loop=True) — one lax.scan dispatch per loop — must
+    produce the same parameters and metrics as the per-step loop over the
+    identical batch sequence."""
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(11)
+    host_batches = [make_batch(rng, 8, model) for _ in range(7)]
+
+    trainer_a = Trainer(model, schedules.constant(1e-3),
+                        mesh=make_mesh(8, 1))
+    state_a = trainer_a.init_state(params)
+    for b in host_batches:
+        state_a, metrics_a = trainer_a.train_step(
+            state_a, trainer_a.shard_batch(b))
+
+    trainer_b = Trainer(model, schedules.constant(1e-3),
+                        mesh=make_mesh(8, 1))
+    state_b = trainer_b.init_state(params)
+    ctl = Controller(trainer=trainer_b, train_iter=iter(host_batches),
+                     state=state_b, steps_per_loop=3, fuse_loop=True)
+    metrics_b = ctl.train(7)  # loops of 3, 3, 1 (remainder recompiles)
+    assert ctl.global_step == 7
+    assert np.isclose(metrics_b["loss"], float(metrics_a["loss"]),
+                      rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(ctl.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    ctl.close()
+
+
 def test_interval_checkpoints_fire_off_multiple_boundaries(tmp_path):
     """Loop boundaries after the warm-up train(1) are 1, 1+loop, ... and
     need never hit an exact interval multiple; the manager must still
