@@ -109,9 +109,15 @@ class FACT(nn.Module):
         return self.audio_transformer(x)
 
     def cross(self, motion_features: jax.Array,
-              audio_features: jax.Array) -> jax.Array:
-        """Cross-modal transformer over concat(motion, audio) tokens."""
-        return self.cross_modal_layer(motion_features, audio_features)
+              audio_features: jax.Array,
+              first_n_out: int | None = None) -> jax.Array:
+        """Cross-modal transformer over concat(motion, audio) tokens.
+
+        ``first_n_out`` truncates the final block + output head to the
+        first N query rows (exact for those rows; see CrossModalLayer).
+        """
+        return self.cross_modal_layer(motion_features, audio_features,
+                                      first_n_out=first_n_out)
 
     def __call__(self, inputs: Dict[str, jax.Array]) -> jax.Array:
         """Training/eval forward pass (fact_model.py:72-101).

@@ -66,7 +66,14 @@ class Attention(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, n_queries: int | None = None
+                 ) -> jax.Array:
+        """Self-attention over x; with ``n_queries=q`` only the first q
+        positions attend (keys/values still cover every token), returning
+        [b, q, dim].  Exact for those rows — used by the decoder, which
+        keeps only output frame 0 of the final block (fact_model.py:128),
+        so the other 359 query rows of that block are dead work.
+        """
         b, n, _ = x.shape
         scale = self.dim ** -0.5  # full model dim, reference parity
         qkv = Dense(self.dim * 3, use_bias=False, name="to_qkv",
@@ -75,8 +82,11 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim // self.heads)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
         q, k, v = qkv[0], qkv[1], qkv[2]
+        nq = n if n_queries is None else min(n_queries, n)
+        if nq != n:
+            q = q[:, :, :nq, :]
         out = multi_head_attention(q, k, v, scale)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, self.dim)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, nq, self.dim)
         return Dense(self.dim, name="to_out", dtype=self.compute_dtype)(out)
 
 
@@ -109,12 +119,17 @@ class Block(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, n_out: int | None = None) -> jax.Array:
+        """With ``n_out=q`` only the first q output tokens are computed
+        (the attention keys/values still span all of x) — exact for those
+        rows; everything downstream of the attention is row-local.
+        """
         h = nn.LayerNorm(epsilon=1e-5, name="norm_attn",
                          dtype=self.compute_dtype)(x)
-        x = x + Attention(self.hidden_size, self.num_heads,
-                          compute_dtype=self.compute_dtype,
-                          name="attn")(h)
+        att = Attention(self.hidden_size, self.num_heads,
+                        compute_dtype=self.compute_dtype,
+                        name="attn")(h, n_queries=n_out)
+        x = (x if n_out is None else x[:, :n_out, :]) + att
         h = nn.LayerNorm(epsilon=1e-5, name="norm_mlp",
                          dtype=self.compute_dtype)(x)
         x = x + MLP(self.hidden_size, self.intermediate_size,
@@ -133,12 +148,19 @@ class Transformer(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, last_n_out: int | None = None
+                 ) -> jax.Array:
+        """With ``last_n_out=q`` the FINAL block emits only its first q
+        tokens (exact; earlier blocks must stay full-width because the
+        final block's attention reads every token of their output).
+        """
         for i in range(self.num_hidden_layers):
+            last = i == self.num_hidden_layers - 1
             x = Block(self.hidden_size, self.num_attention_heads,
                       self.intermediate_size,
                       compute_dtype=self.compute_dtype,
-                      name=f"block_{i}")(x)
+                      name=f"block_{i}")(x, n_out=last_n_out if last
+                                         else None)
         return x
 
 
@@ -206,7 +228,14 @@ class CrossModalLayer(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, modal_a: jax.Array, modal_b: jax.Array) -> jax.Array:
+    def __call__(self, modal_a: jax.Array, modal_b: jax.Array,
+                 first_n_out: int | None = None) -> jax.Array:
+        """With ``first_n_out=q``, only the first q output frames are
+        computed (final transformer block + output head truncated to q
+        query rows — exact for those rows).  The AR decoder keeps only
+        frame 0 per step (fact_model.py:128), so it passes 1 and skips
+        ~an entire layer of dead work per generated frame.
+        """
         if modal_a.shape[-1] != modal_b.shape[-1]:
             raise ValueError(
                 "The modal_a hidden size (%d) should be the same with the "
@@ -219,7 +248,7 @@ class CrossModalLayer(nn.Module):
             num_attention_heads=self.num_attention_heads,
             intermediate_size=self.intermediate_size,
             compute_dtype=self.compute_dtype,
-            name="transformer")(merged)
+            name="transformer")(merged, last_n_out=first_n_out)
         logits = nn.Dense(
             self.out_dim,
             kernel_init=trunc_normal(self.output_initializer_range),

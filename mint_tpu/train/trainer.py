@@ -191,12 +191,24 @@ class Trainer:
 
     def stack_batches(self, batches) -> Dict[str, Any]:
         """Stack `loop` host batches into [loop, batch, ...] arrays
-        (numeric features only, like shard_batch)."""
+        (numeric features only, like shard_batch).
+
+        Multi-host: like shard_batch, each process contributes its LOCAL
+        slice of every step's global batch, assembled here into global
+        sharded arrays — passing raw host numpy into the jitted loop
+        would make jit treat the local slice as the full global batch.
+        """
         import numpy as np
         keys = [k for k, v in batches[0].items()
                 if np.asarray(v).dtype.kind in "fiub"]
-        return {k: np.stack([np.asarray(b[k]) for b in batches])
-                for k in keys}
+        stacked = {k: np.stack([np.asarray(b[k]) for b in batches])
+                   for k in keys}
+        if jax.process_count() > 1:
+            sharding = mesh_lib.stacked_batch_sharding(self.mesh)
+            stacked = {
+                k: jax.make_array_from_process_local_data(sharding, v)
+                for k, v in stacked.items()}
+        return stacked
 
     def train_steps(self, state: TrainState, stacked: Dict[str, Any]
                     ) -> Tuple[TrainState, Dict[str, jax.Array]]:

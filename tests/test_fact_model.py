@@ -143,3 +143,32 @@ def test_modality_oneof_order_independent():
         "motion_input": jnp.zeros((1, 120, 225)),
         "audio_input": jnp.zeros((1, 240, 35))})
     assert out.shape == (1, 360, 225)
+
+
+def test_first_n_out_truncation_exact(small_model):
+    """The decoder's truncated final cross block (first_n_out=1) must be
+    EXACT for the rows it computes: identical math to the full forward's
+    frame 0, just with the dead query rows dropped."""
+    model, params = small_model
+    rng = np.random.default_rng(7)
+    motion = jnp.asarray(rng.standard_normal((2, 120, 225)), jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((2, 240, 35)), jnp.float32)
+
+    def full(mdl):
+        return mdl.cross(mdl.encode_motion(motion), mdl.encode_audio(audio))
+
+    out_full = model.apply(params, method=full)
+    n_tokens = out_full.shape[1]
+    # 48 exceeds the small model's token count -> clamps to full width
+    # (the flagship decoder uses 48 of 360; see decoder.py).
+    for n_out in (1, 3, 48):
+        def truncated(mdl):
+            return mdl.cross(mdl.encode_motion(motion),
+                             mdl.encode_audio(audio), first_n_out=n_out)
+
+        out_trunc = model.apply(params, method=truncated)
+        eff = min(n_out, n_tokens)
+        assert out_trunc.shape == (2, eff, out_full.shape[-1])
+        np.testing.assert_allclose(np.asarray(out_trunc),
+                                   np.asarray(out_full[:, :eff]),
+                                   rtol=0, atol=1e-6)
