@@ -37,7 +37,11 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_error is not None:
             return None
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_NATIVE_DIR, "mint_loader.cc")
+        stale = (not os.path.exists(_LIB_PATH)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+        if stale:
             try:
                 subprocess.run(["make", "-C", _NATIVE_DIR],
                                check=True, capture_output=True, text=True)
@@ -53,7 +57,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mint_loader_open.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_uint64]
         lib.mint_loader_next.restype = ctypes.c_int
         lib.mint_loader_next.argtypes = [ctypes.c_void_p] + [
             ctypes.POINTER(ctypes.c_float)] * 3
@@ -92,12 +97,18 @@ class NativeTrainLoader:
                  motion_input_len: int, target_len: int, target_shift: int,
                  audio_input_len: int, motion_dim_raw: int = 219,
                  audio_dim: int = 35, shuffle_buffer: int = 100,
-                 seed: int = 0):
+                 seed: int = 0, cache_bytes: Optional[int] = None):
         lib = _load()
         if lib is None:
             raise RuntimeError(
                 f"native loader unavailable: {_build_error}")
         self._lib = lib
+        if cache_bytes is None:
+            # A full-record read+CRC+parse per window is the training
+            # bottleneck on small hosts; decoded corpora are small
+            # (AIST++ train ~2 GB), so cache them by default.
+            cache_bytes = int(os.environ.get(
+                "MINT_TPU_LOADER_CACHE_MB", "4096")) << 20
         self._shapes = dict(
             motion=(batch_size, motion_input_len, motion_dim_raw + 6),
             target=(batch_size, target_len, motion_dim_raw + 6),
@@ -107,7 +118,7 @@ class NativeTrainLoader:
         self._handle = lib.mint_loader_open(
             arr, len(files), batch_size, motion_input_len, target_len,
             target_shift, audio_input_len, motion_dim_raw, audio_dim,
-            shuffle_buffer, seed)
+            shuffle_buffer, seed, cache_bytes)
         self._closed = False
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -227,6 +227,14 @@ struct Config {
   int motion_dim_raw, audio_dim;  // 219, 35
   int shuffle_buffer;             // 100 (reference inputs.py:70)
   uint64_t seed;
+  // Decoded-record cache budget in bytes (0 = stream every epoch).  One
+  // windowed example costs a full record read + CRC + proto parse
+  // (~1.5 MB for a 25 s AIST++ sequence) but yields a ~130 KB window; a
+  // typical corpus fits in a couple of GB of RAM, so epochs after the
+  // first sample windows straight from decoded floats.  If the corpus
+  // outgrows the budget mid-fill, the cache is dropped and the loader
+  // streams forever (identical semantics, original speed).
+  uint64_t cache_bytes;
 };
 
 struct Window {  // one training example, already windowed + padded
@@ -239,6 +247,7 @@ class Loader {
  public:
   Loader(std::vector<std::string> files, Config cfg)
       : files_(std::move(files)), cfg_(cfg), rng_(cfg.seed) {
+    caching_ = cfg_.cache_bytes > 0;
     reader_ = std::thread([this] { ReadLoop(); });
   }
 
@@ -286,17 +295,34 @@ class Loader {
   void ReadLoop() {
     std::mt19937_64 file_rng(cfg_.seed ^ 0x9e3779b97f4a7c15ull);
     // Endless epochs (reference .repeat()), shards reshuffled per epoch.
+    bool first_epoch = true;
     while (true) {
       {
         std::lock_guard<std::mutex> lock(mu_);
         if (stop_) return;
       }
-      std::vector<size_t> order(files_.size());
-      for (size_t i = 0; i < order.size(); ++i) order[i] = i;
-      std::shuffle(order.begin(), order.end(), file_rng);
       bool produced = false;
-      for (size_t fi : order) {
-        if (!ReadFile(files_[fi], file_rng, &produced)) return;
+      if (cache_complete_) {
+        // Window directly from decoded floats; no disk/CRC/proto work.
+        std::vector<size_t> order(cache_.size());
+        for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+        std::shuffle(order.begin(), order.end(), file_rng);
+        for (size_t ei : order) {
+          Window w;
+          if (!MakeWindow(cache_[ei], file_rng, &w)) continue;
+          if (!Enqueue(std::move(w))) return;
+          produced = true;
+        }
+      } else {
+        std::vector<size_t> order(files_.size());
+        for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+        std::shuffle(order.begin(), order.end(), file_rng);
+        for (size_t fi : order) {
+          if (!ReadFile(files_[fi], file_rng, first_epoch, &produced))
+            return;
+        }
+        if (first_epoch && caching_) cache_complete_ = true;
+        first_epoch = false;
       }
       if (!produced) {
         // No shard yielded a single usable window: signal exhaustion so
@@ -311,10 +337,25 @@ class Loader {
     }
   }
 
+  // Blocks until the shuffle buffer has room; returns false on stop.
+  bool Enqueue(Window w) {
+    std::unique_lock<std::mutex> lock(mu_);
+    cv_not_full_.wait(lock, [this] {
+      return stop_ || buffer_.size() < size_t(cfg_.shuffle_buffer);
+    });
+    if (stop_) return false;
+    buffer_.push_back(std::move(w));
+    lock.unlock();
+    cv_not_empty_.notify_one();
+    return true;
+  }
+
   // Returns false if the loader is stopping; sets *produced when at
-  // least one window was enqueued from this shard.
+  // least one window was enqueued from this shard.  On the first epoch
+  // parse-valid examples are added to the decoded cache (until the
+  // byte budget overflows, which drops the cache for good).
   bool ReadFile(const std::string& path, std::mt19937_64& rng,
-                bool* produced) {
+                bool cache_this_epoch, bool* produced) {
     std::ifstream in(path, std::ios::binary);
     if (!in) return true;  // skip unreadable shard
     std::vector<uint8_t> buf;
@@ -342,17 +383,21 @@ class Loader {
       Example ex;
       if (!ParseExample(Slice{buf.data(), size_t(len)}, &ex)) continue;
       Window w;
-      if (!MakeWindow(ex, rng, &w)) continue;
-
-      std::unique_lock<std::mutex> lock(mu_);
-      cv_not_full_.wait(lock, [this] {
-        return stop_ || buffer_.size() < size_t(cfg_.shuffle_buffer);
-      });
-      if (stop_) return false;
-      buffer_.push_back(std::move(w));
+      bool windowed = MakeWindow(ex, rng, &w);
+      if (caching_ && cache_this_epoch) {
+        cache_used_ += (ex.motion.capacity() + ex.audio.capacity()) * 4 +
+                       sizeof(Example);
+        if (cache_used_ > cfg_.cache_bytes) {
+          caching_ = false;
+          cache_.clear();
+          cache_.shrink_to_fit();
+        } else {
+          cache_.push_back(std::move(ex));
+        }
+      }
+      if (!windowed) continue;
+      if (!Enqueue(std::move(w))) return false;
       *produced = true;
-      lock.unlock();
-      cv_not_empty_.notify_one();
     }
     return true;
   }
@@ -403,6 +448,11 @@ class Loader {
   std::mutex mu_;
   std::condition_variable cv_not_empty_, cv_not_full_;
   bool stop_ = false;
+  // Decoded-record cache (reader thread only; no locking needed).
+  std::vector<Example> cache_;
+  uint64_t cache_used_ = 0;
+  bool caching_ = false;         // still filling (set from cfg in ctor)
+  bool cache_complete_ = false;  // first epoch fit; serve from memory
   std::thread reader_;
 };
 
@@ -414,11 +464,12 @@ void* mint_loader_open(const char** files, int n_files, int batch_size,
                        int motion_input_len, int target_len,
                        int target_shift, int audio_input_len,
                        int motion_dim_raw, int audio_dim,
-                       int shuffle_buffer, uint64_t seed) {
+                       int shuffle_buffer, uint64_t seed,
+                       uint64_t cache_bytes) {
   std::vector<std::string> fs(files, files + n_files);
   Config cfg{batch_size, motion_input_len, target_len, target_shift,
              audio_input_len, motion_dim_raw, audio_dim, shuffle_buffer,
-             seed};
+             seed, cache_bytes};
   return new Loader(std::move(fs), cfg);
 }
 

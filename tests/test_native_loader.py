@@ -263,3 +263,65 @@ def test_corrupt_length_field_stops_file(tmp_path):
     with pytest.raises(StopIteration):  # whole (single) shard abandoned
         next(ld)
     ld.close()
+
+
+def test_cached_epochs_serve_correct_windows(tmp_path):
+    """After the first epoch the loader serves from the decoded-record
+    cache; window contents must still be contiguous slices of the source
+    (same contract as test_window_values_come_from_source) far past the
+    first epoch."""
+    t_motion = 30
+    motion = np.arange(t_motion, dtype=np.float32)[:, None].repeat(219, 1)
+    audio = np.arange(40, dtype=np.float32)[:, None].repeat(35, 1)
+    path = str(tmp_path / "one")
+    with TFRecordWriter(path) as w:
+        w.write(encode_example({
+            "motion_sequence": motion.ravel(),
+            "motion_sequence_shape": np.asarray(motion.shape, np.int64),
+            "audio_sequence": audio.ravel(),
+            "audio_sequence_shape": np.asarray(audio.shape, np.int64),
+        }))
+    ld = native_loader.NativeTrainLoader(
+        [path], batch_size=4, motion_input_len=8, target_len=4,
+        target_shift=8, audio_input_len=12, seed=3,
+        cache_bytes=64 << 20)
+    starts = set()
+    for _ in range(100):  # 400 windows from a 1-example corpus
+        b = next(ld)
+        for row in range(4):
+            start = int(b["motion_input"][row, 0, 6])
+            np.testing.assert_array_equal(
+                b["motion_input"][row, :, 6],
+                np.arange(start, start + 8, dtype=np.float32))
+            np.testing.assert_array_equal(
+                b["target"][row, :, 6],
+                np.arange(start + 8, start + 12, dtype=np.float32))
+            assert 0 <= start <= 18
+            starts.add(start)
+    ld.close()
+    assert len(starts) > 3  # windows keep re-randomizing across epochs
+
+
+def test_cache_overflow_falls_back_to_streaming(tmp_path):
+    """A cache budget smaller than the corpus must not break anything:
+    the loader drops the cache and streams every epoch."""
+    files = _write_shards(tmp_path)
+    ld = native_loader.NativeTrainLoader(
+        files, batch_size=2, motion_input_len=8, target_len=4,
+        target_shift=8, audio_input_len=12, seed=0, cache_bytes=1)
+    for _ in range(30):  # many epochs over 10 examples
+        b = next(ld)
+        assert b["motion_input"].shape == (2, 8, 225)
+        assert np.isfinite(b["motion_input"]).all()
+    ld.close()
+
+
+def test_cache_disabled_matches_streaming_shapes(tmp_path):
+    files = _write_shards(tmp_path)
+    ld = native_loader.NativeTrainLoader(
+        files, batch_size=2, motion_input_len=8, target_len=4,
+        target_shift=8, audio_input_len=12, seed=0, cache_bytes=0)
+    for _ in range(30):
+        b = next(ld)
+        assert b["audio_input"].shape == (2, 12, 35)
+    ld.close()
