@@ -31,7 +31,8 @@ class Evaluator:
 
     def __init__(self, model: FACT, dataset,
                  metrics: Sequence = (), output_dir: Optional[str] = None,
-                 steps: int = 1200, decode_batch: int = 64, mesh=None):
+                 steps: int = 1200, decode_batch: int = 64, mesh=None,
+                 dispatch_chunk: Optional[int] = 200):
         """`dataset` is an iterable of batches, or a zero-arg callable
         returning one (for continuous eval, which runs a pass per
         checkpoint — reference re-iterates its tf.data.Dataset).  A plain
@@ -40,6 +41,12 @@ class Evaluator:
         With `mesh` (a jax.sharding.Mesh), decode batches are sharded over
         the mesh's data axis — multi-chip generation; clip buckets are
         padded to a multiple of the data-axis size and trimmed after.
+
+        `dispatch_chunk` bounds each device dispatch to that many decode
+        steps (results identical; see decoder.infer_auto_regressive) —
+        a full-eval f32 batch-64 1200-step program is minutes of device
+        time in ONE dispatch, which the tunneled single-chip platform's
+        worker can drop mid-run.
         """
         self.model = model
         self.dataset = dataset
@@ -48,6 +55,7 @@ class Evaluator:
         self.steps = steps
         self.decode_batch = decode_batch
         self.mesh = mesh
+        self.dispatch_chunk = dispatch_chunk
         self._cache: Optional[List[Dict]] = None
 
     def _examples(self) -> List[Dict]:
@@ -137,7 +145,8 @@ class Evaluator:
             motion, audio = jnp.asarray(motion), jnp.asarray(audio)
         out = decoder.infer_auto_regressive(
             self.model, params,
-            {"motion_input": motion, "audio_input": audio}, steps=n_steps)
+            {"motion_input": motion, "audio_input": audio}, steps=n_steps,
+            dispatch_chunk=self.dispatch_chunk)
         # Prepend the seed (single_task_evaluator.py:71); drop pad clips.
         full = np.concatenate([np.asarray(motion), np.asarray(out)],
                               axis=1)[:n_real]

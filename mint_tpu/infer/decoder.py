@@ -70,6 +70,7 @@ def _forward_from_embedded(model: FACT, params, motion_emb: jax.Array,
     return model.apply(params, method=run)
 
 
+@functools.partial(jax.jit, static_argnames=("model", "name"))
 def _embed(model: FACT, params, name: str, x: jax.Array) -> jax.Array:
     def run(mdl: FACT):
         emb = getattr(mdl, f"{name}_linear_embedding")
@@ -79,10 +80,36 @@ def _embed(model: FACT, params, name: str, x: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("model", "steps", "unroll"))
+def _decode_scan(model: FACT, params, motion_emb: jax.Array,
+                 audio_emb_full: jax.Array, start,
+                 steps: int, unroll: int):
+    """`steps` decode iterations starting at audio offset `start` (traced,
+    so chunks of equal length share one compiled program).  Returns the
+    updated embedded motion window and the generated frames
+    [steps, B, motion_dim]."""
+    audio_seq = model.audio_seq_length
+
+    def step(carry, i):
+        motion_emb = carry
+        audio_emb = jax.lax.dynamic_slice_in_dim(
+            audio_emb_full, i, audio_seq, axis=1)
+        out = _forward_from_embedded(model, params, motion_emb, audio_emb)
+        frame = out[:, 0:1, :]  # keep only the first output frame
+        # Shift the embedded motion window by one, append the new frame's
+        # embedding (linear embedding commutes with the shift — exact).
+        new_emb = _embed(model, params, "motion", frame)
+        motion_emb = jnp.concatenate([motion_emb[:, 1:, :], new_emb], axis=1)
+        return motion_emb, frame[:, 0, :]
+
+    return jax.lax.scan(step, motion_emb, start + jnp.arange(steps),
+                        unroll=unroll)
+
+
 def infer_auto_regressive(model: FACT, params,
                           inputs: Dict[str, jax.Array],
                           steps: int = 1200,
-                          unroll: int = 8) -> jax.Array:
+                          unroll: int = 8,
+                          dispatch_chunk: int | None = None) -> jax.Array:
     """Batched AR generation (protocol parity with fact_model.py:103-132).
 
     Args:
@@ -99,15 +126,22 @@ def infer_auto_regressive(model: FACT, params,
         Measured on TPU v5e at the bench protocol (40x1200, bf16):
         unroll 1/2/4/8/12 -> 28.3/28.3/26.5/25.6/25.6 ms per step; 8 is
         the plateau (+11% throughput) and the default.
+      dispatch_chunk: if set, split the scan into device dispatches of at
+        most this many steps (the carry stays on device; equal-size chunks
+        share one compiled program, so the math and the results are
+        IDENTICAL to the single-dispatch path).  Bounding the wall time of
+        each dispatch matters on the tunneled single-chip platform, whose
+        worker can drop executions that run for minutes (observed with
+        batch-64 f32 1200-step programs); it also lets a caller interleave
+        host work between chunks.
 
     Returns:
       [B, steps, motion_dim] generated frames.
     """
     audio_seq = model.audio_seq_length
-    motion_seq = model.motion_seq_length
     motion_input = inputs["motion_input"]
     audio_input = inputs["audio_input"]
-    b, t_audio, _ = audio_input.shape
+    _, t_audio, _ = audio_input.shape
     if t_audio < steps + audio_seq - 1:
         raise ValueError(
             f"audio too short: {t_audio} frames < steps + audio_seq - 1 = "
@@ -118,20 +152,20 @@ def infer_auto_regressive(model: FACT, params,
     audio_emb_full = _embed(model, params, "audio", audio_input)
     motion_emb = _embed(model, params, "motion", motion_input)
 
-    def step(carry, i):
-        motion_emb = carry
-        audio_emb = jax.lax.dynamic_slice_in_dim(
-            audio_emb_full, i, audio_seq, axis=1)
-        out = _forward_from_embedded(model, params, motion_emb, audio_emb)
-        frame = out[:, 0:1, :]  # keep only the first output frame
-        # Shift the embedded motion window by one, append the new frame's
-        # embedding (linear embedding commutes with the shift — exact).
-        new_emb = _embed(model, params, "motion", frame)
-        motion_emb = jnp.concatenate([motion_emb[:, 1:, :], new_emb], axis=1)
-        return motion_emb, frame[:, 0, :]
-
-    _, frames = jax.lax.scan(step, motion_emb, jnp.arange(steps),
-                             unroll=unroll)
+    if dispatch_chunk is None or dispatch_chunk >= steps:
+        _, frames = _decode_scan(model, params, motion_emb, audio_emb_full,
+                                 jnp.int32(0), steps, unroll)
+    else:
+        parts = []
+        done = 0
+        while done < steps:
+            n = min(dispatch_chunk, steps - done)
+            motion_emb, part = _decode_scan(
+                model, params, motion_emb, audio_emb_full,
+                jnp.int32(done), n, unroll)
+            parts.append(part)
+            done += n
+        frames = jnp.concatenate(parts, axis=0)
     # frames: [steps, B, motion_dim] -> [B, steps, motion_dim]
     return jnp.transpose(frames, (1, 0, 2))
 

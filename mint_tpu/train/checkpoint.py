@@ -77,13 +77,25 @@ class CheckpointManager:
     def checkpoints_iterator(self, timeout: float,
                              poll_seconds: float = 10.0):
         """Yield new checkpoint steps as they appear (evaluator-side;
-        reference `evaluate_continuously(timeout=...)`, evaluator.py:71)."""
+        reference `evaluate_continuously(timeout=...)`, evaluator.py:71).
+
+        Like ``tf.train.checkpoints_iterator`` (which wraps
+        ``wait_for_new_checkpoint(dir, last_checkpoint=None)``), the first
+        yield is the CURRENT LATEST checkpoint — older checkpoints already
+        in the directory are not replayed; after that, every newer step is
+        yielded in order.
+        """
         seen = set()
+        first = True
         deadline = time.time() + timeout
         while time.time() < deadline:
             self._mgr.reload()
-            steps = [s for s in self._mgr.all_steps() if s not in seen]
-            for s in sorted(steps):
+            all_steps = sorted(self._mgr.all_steps())
+            if first and all_steps:
+                seen.update(all_steps[:-1])
+                first = False
+            steps = [s for s in all_steps if s not in seen]
+            for s in steps:
                 seen.add(s)
                 deadline = time.time() + timeout
                 yield s

@@ -64,6 +64,27 @@ def test_scan_decoder_matches_reference_loop(tiny_model):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_chunked_dispatch_is_identical(tiny_model):
+    """dispatch_chunk only splits device dispatches; the math is the same
+    scan, so results must be BIT-identical to the single-dispatch path
+    (including an uneven final chunk)."""
+    model, params = tiny_model
+    rng = np.random.RandomState(3)
+    steps, b = 11, 2
+    audio_len = steps + model.audio_seq_length - 1
+    inputs = {
+        "motion_input": jnp.asarray(
+            rng.randn(b, model.motion_seq_length, 225) * 0.1, jnp.float32),
+        "audio_input": jnp.asarray(
+            rng.randn(b, audio_len, 35) * 0.1, jnp.float32),
+    }
+    whole = infer_auto_regressive(model, params, inputs, steps=steps)
+    for chunk in (1, 4, 11, 100):
+        got = infer_auto_regressive(model, params, inputs, steps=steps,
+                                    dispatch_chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(whole))
+
+
 def test_max_steps_protocol(tiny_model):
     model, _ = tiny_model
     audio_seq = model.audio_seq_length

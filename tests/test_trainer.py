@@ -222,6 +222,35 @@ def test_interval_checkpoints_fire_off_multiple_boundaries(tmp_path):
     assert steps == [1, 21, 41], steps
 
 
+def test_checkpoints_iterator_starts_at_latest(tmp_path):
+    """tf.train.checkpoints_iterator (which the reference's
+    evaluate_continuously rides, evaluator.py:62-71) yields the CURRENT
+    LATEST checkpoint first — it never replays the directory's history.
+    A continuous evaluator attaching to a long-running trainer must not
+    re-evaluate every old checkpoint before reaching the fresh one."""
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=1,
+                            max_to_keep=5)
+    for step in (3, 7, 12):
+        mgr.save(step, state._replace(step=jnp.asarray(step)), force=True)
+    mgr.wait_until_finished()
+
+    it = mgr.checkpoints_iterator(timeout=30, poll_seconds=0.05)
+    assert next(it) == 12  # latest only, not 3
+    # A newer checkpoint appearing mid-iteration IS yielded.
+    mgr.save(15, state._replace(step=jnp.asarray(15)), force=True)
+    mgr.wait_until_finished()
+    assert next(it) == 15
+    # A fresh iterator also starts at the new latest, then times out.
+    it2 = mgr.checkpoints_iterator(timeout=0.3, poll_seconds=0.05)
+    assert list(it2) == [15]
+    mgr.close()
+
+
 def _acc_setup():
     model = build(tiny_cfg(), is_training=True)
     params = init_params(model, jax.random.PRNGKey(0), batch_size=1)
