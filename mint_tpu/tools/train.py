@@ -49,9 +49,15 @@ flags.DEFINE_bool("use_bfloat16", False,
 flags.DEFINE_integer("accumulate_steps", 1,
                      "Micro-batches to average per optimizer update "
                      "(gradient accumulation).")
-flags.DEFINE_enum("input_backend", "auto", ["auto", "native", "python"],
+flags.DEFINE_enum("input_backend", "auto",
+                  ["auto", "native", "python", "device"],
                   "Training input pipeline: the C++ reader thread "
-                  "(native/mint_loader.cc) or the NumPy pipeline.")
+                  "(native/mint_loader.cc), the NumPy pipeline, or "
+                  "'device' — decode the whole corpus into HBM once and "
+                  "sample windows ON-device inside the fused train scan "
+                  "(zero per-step host->device input traffic; i.i.d. "
+                  "window sampling instead of epoch shuffling, see "
+                  "data/device_dataset.py).")
 
 
 def _make_input(train_config, dataset_config):
@@ -151,13 +157,33 @@ def train():
     params = init_params(model, jax.random.PRNGKey(0))
     state = trainer.init_state(params)
 
-    data_iter = _make_input(train_config, pipeline.train_dataset)
-    # The loader runs in a background thread, two batches ahead
-    # (mint_tpu/data/prefetch.py); the controller fuses each
-    # steps_per_loop window into one lax.scan dispatch, so batches stay
-    # on host until the (single) fused transfer.
-    from mint_tpu.data.prefetch import DevicePrefetcher
-    sharded_iter = DevicePrefetcher(data_iter, lambda b: b)
+    sharded_iter = None
+    train_sampler = None
+    if FLAGS.input_backend == "device":
+        # Whole corpus resident in HBM; windows sampled on-device inside
+        # the fused train scan.  Every process decodes the full corpus
+        # (replicated stores keep the program SPMD-consistent).
+        from mint_tpu.data import tfrecord
+        from mint_tpu.data.device_dataset import DeviceDataset
+        files = tfrecord.glob(pipeline.train_dataset.data_files)
+        if not files:
+            raise FileNotFoundError(
+                f"no input files match "
+                f"{pipeline.train_dataset.data_files!r}")
+        train_sampler = DeviceDataset.from_files(
+            files, pipeline.train_dataset,
+            batch_size=train_config.batch_size, mesh=mesh)
+        logging.info(
+            "device-resident dataset: %d sequences, %.1f MB in HBM",
+            train_sampler.n_sequences, train_sampler.nbytes / 2**20)
+    else:
+        data_iter = _make_input(train_config, pipeline.train_dataset)
+        # The loader runs in a background thread, two batches ahead
+        # (mint_tpu/data/prefetch.py); the controller fuses each
+        # steps_per_loop window into one lax.scan dispatch, so batches
+        # stay on host until the (single) fused transfer.
+        from mint_tpu.data.prefetch import DevicePrefetcher
+        sharded_iter = DevicePrefetcher(data_iter, lambda b: b)
 
     manager = CheckpointManager(
         FLAGS.model_dir, save_interval_steps=FLAGS.checkpoint_interval,
@@ -168,7 +194,8 @@ def train():
         checkpoint_manager=manager,
         summary_dir=os.path.join(FLAGS.model_dir, "train"),
         summary_interval=FLAGS.summary_interval,
-        fuse_loop=True)
+        fuse_loop=True,
+        train_sampler=train_sampler)
 
     # Reference runs a single step first to bring everything up, then the
     # rest (trainer.py:177-178); train() is ABSOLUTE (until global_step
@@ -178,7 +205,8 @@ def train():
     controller.train(FLAGS.steps)
     controller.save_checkpoint()
     controller.close()
-    sharded_iter.close()
+    if sharded_iter is not None:
+        sharded_iter.close()
 
 
 def main(_):

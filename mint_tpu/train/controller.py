@@ -36,15 +36,26 @@ class Controller:
                  checkpoint_manager: Optional[CheckpointManager] = None,
                  summary_dir: Optional[str] = None,
                  summary_interval: int = 10,
-                 fuse_loop: bool = False):
+                 fuse_loop: bool = False,
+                 train_sampler=None,
+                 sample_seed: int = 0):
         """``fuse_loop``: compile each steps_per_loop window as ONE
         ``lax.scan`` dispatch (Trainer.train_steps) instead of per-step
         dispatches — orbit's one-tf.function-per-loop semantics, and the
         difference between ~2.5 and ~13 steps/s on a high-latency-dispatch
         host.  Requires ``train_iter`` to yield HOST (numpy) batches;
-        per-step mode accepts pre-sharded device batches."""
+        per-step mode accepts pre-sharded device batches.
+
+        ``train_sampler``: a DeviceDataset; when given, batches are
+        sampled ON-DEVICE inside the fused loop (Trainer.
+        train_steps_sampled) and ``train_iter`` is not consumed.  Step
+        keys are derived from ``sample_seed`` and the ABSOLUTE step
+        number, so a preemption-resumed run draws the same windows it
+        would have drawn uninterrupted."""
         self.trainer = trainer
         self.train_iter = train_iter
+        self.train_sampler = train_sampler
+        self.sample_seed = sample_seed
         self.state = state
         self.evaluator = evaluator
         self.steps_per_loop = steps_per_loop
@@ -83,13 +94,22 @@ class Controller:
         preemption-resume idempotent."""
         from mint_tpu.utils.profiling import StepTimer
 
-        assert self.trainer is not None and self.train_iter is not None
+        assert self.trainer is not None
+        assert self.train_iter is not None or self.train_sampler is not None
         metrics: Dict[str, float] = {}
         timer = StepTimer()
         while self.global_step < until_step:
             loop = min(self.steps_per_loop,
                        until_step - self.global_step)
-            if self.fuse_loop:
+            if self.train_sampler is not None:
+                # Step keys are derived inside the compiled loop from the
+                # ABSOLUTE step number: resume-stable.
+                self.state, step_metrics = self.trainer.train_steps_sampled(
+                    self.state, self.train_sampler, loop,
+                    seed=self.sample_seed)
+                for _ in range(loop):
+                    timer.step()
+            elif self.fuse_loop:
                 stacked = self.trainer.stack_batches(
                     [next(self.train_iter) for _ in range(loop)])
                 self.state, step_metrics = self.trainer.train_steps(

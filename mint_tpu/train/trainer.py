@@ -242,3 +242,43 @@ class Trainer:
                 donate_argnums=(0,),
             )
         return self._multi_fn[loop](state, stacked)
+
+    def train_steps_sampled(self, state: TrainState, dataset,
+                            loop: int, seed: int = 0
+                            ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """Run `loop` train steps as ONE compiled ``lax.scan`` whose
+        batches are sampled ON-DEVICE from a
+        :class:`~mint_tpu.data.device_dataset.DeviceDataset` — zero
+        per-step host->device input traffic (the whole corpus lives in
+        HBM).  Each step's PRNG key is ``fold_in(PRNGKey(seed),
+        absolute_step)``, so a preemption-resumed run draws exactly the
+        windows the uninterrupted run would have drawn.
+        """
+        cache_key = ("sampled", id(dataset), int(loop), int(seed))
+        if self._multi_fn.get(cache_key) is None:
+            step_fn = self._make_step_fn()
+            sample = dataset.sample
+
+            def loop_fn(state, arrays):
+                base = jax.random.PRNGKey(seed)
+                steps = state.step + jnp.arange(loop, dtype=jnp.int32)
+                keys = jax.vmap(lambda s: jax.random.fold_in(base, s))(steps)
+
+                def body(s, k):
+                    return step_fn(s, sample(arrays, k))
+
+                state2, ms = jax.lax.scan(body, state, keys)
+                last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+                return state2, last
+
+            state_shardings = self._state_shardings(state)
+            replicated = mesh_lib.replicated(self.mesh)
+            array_shardings = jax.tree_util.tree_map(
+                lambda _: replicated, dataset.arrays)
+            self._multi_fn[cache_key] = jax.jit(
+                loop_fn,
+                in_shardings=(state_shardings, array_shardings),
+                out_shardings=(state_shardings, None),
+                donate_argnums=(0,),
+            )
+        return self._multi_fn[cache_key](state, dataset.arrays)
