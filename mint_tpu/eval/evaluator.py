@@ -129,15 +129,22 @@ class Evaluator:
         motion = np.stack([ex["motion_input"] for ex in bucket])
         audio = np.stack([ex["audio_input"][:audio_len] for ex in bucket])
         n_real = len(bucket)
+        # Pad a partial final batch up to decode_batch by repeating the
+        # last clip (trimmed below): every bucket then reuses ONE compiled
+        # decode program instead of compiling per leftover size — compile
+        # dominates one-shot eval wall time.
+        pad = (self.decode_batch - n_real
+               if 0 < self.decode_batch - n_real < self.decode_batch else 0)
         if self.mesh is not None:
             from mint_tpu.parallel import mesh as mesh_lib
             data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
-            pad = (-n_real) % data_size
-            if pad:  # repeat the last clip to fill the data axis
-                motion = np.concatenate(
-                    [motion, np.repeat(motion[-1:], pad, axis=0)])
-                audio = np.concatenate(
-                    [audio, np.repeat(audio[-1:], pad, axis=0)])
+            pad = max(pad, (-n_real) % data_size)
+        if pad:
+            motion = np.concatenate(
+                [motion, np.repeat(motion[-1:], pad, axis=0)])
+            audio = np.concatenate(
+                [audio, np.repeat(audio[-1:], pad, axis=0)])
+        if self.mesh is not None:
             sharding = mesh_lib.batch_sharding(self.mesh)
             motion = jax.device_put(motion, sharding)
             audio = jax.device_put(audio, sharding)
