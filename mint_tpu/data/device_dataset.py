@@ -25,6 +25,16 @@ semantics for anyone who needs them.
 Multi-host: every process uploads the SAME corpus (replicated) and folds
 the same key stream, so the jitted program stays SPMD-consistent; the
 sampled batch itself is sharded over the mesh's data axis.
+
+Memory scaling (``shard_over_data=True``): the stores can instead be
+SHARDED over the mesh's data axis, cutting per-device HBM to corpus/d.
+Naively sharding the arrays does NOT work — XLA's partitioner all-gathers
+the entire store on every sample (verified on an 8-device mesh) — so the
+sharded mode samples each device's batch rows from its LOCAL shard inside
+``shard_map`` (zero collectives).  Sequences are dealt round-robin to
+shards; shards short of the common slot count repeat their first
+sequences, so up to d-1 sequences carry 2x draw weight — bias <= 1/S per
+affected sequence, documented here and in the flag help.
 """
 
 from __future__ import annotations
@@ -35,6 +45,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mint_tpu.data import pipeline as data_pipeline
 from mint_tpu.data import tfrecord
@@ -54,7 +65,8 @@ class DeviceDataset:
     def __init__(self, motion: np.ndarray, audio: np.ndarray,
                  offsets: np.ndarray, counts: np.ndarray,
                  motion_input_len: int, target_len: int, target_shift: int,
-                 audio_input_len: int, batch_size: int, mesh=None):
+                 audio_input_len: int, batch_size: int, mesh=None,
+                 shard_over_data: bool = False):
         self.motion_input_len = int(motion_input_len)
         self.target_len = int(target_len)
         self.target_shift = int(target_shift)
@@ -67,20 +79,74 @@ class DeviceDataset:
         if self.n_sequences == 0:
             raise ValueError(
                 "no sequence is long enough for one training window")
-        replicated = mesh_lib.replicated(self.mesh)
+        data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
+        self.shard_over_data = bool(shard_over_data) and data_size > 1
+        if not self.shard_over_data:
+            replicated = mesh_lib.replicated(self.mesh)
+            self.arrays = {
+                "motion": jax.device_put(np.ascontiguousarray(motion),
+                                         replicated),
+                "audio": jax.device_put(np.ascontiguousarray(audio),
+                                        replicated),
+                "offsets": jax.device_put(offsets.astype(np.int32),
+                                          replicated),
+                "counts": jax.device_put(counts.astype(np.int32),
+                                         replicated),
+            }
+            return
+        # Sharded stores: deal sequences round-robin to the d data shards;
+        # each device keeps only its shard's rows.  Slot tables are padded
+        # to a common slot count by CYCLING the shard's own sequences, so
+        # up to d-1 sequences carry one extra draw slot (<= 2x weight).
+        d = data_size
+        if self.n_sequences < d:
+            raise ValueError(
+                f"shard_over_data needs >= {d} sequences (one per data "
+                f"shard); corpus has {self.n_sequences}")
+        if self.batch_size % d:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by the data "
+                f"axis size {d}")
+        total_rows = motion.shape[0]
+        lengths = np.diff(np.concatenate([offsets, [total_rows]]))
+        shard_seqs = [list(range(s, self.n_sequences, d)) for s in range(d)]
+        slots = max(len(s) for s in shard_seqs)
+        rows = max(int(lengths[s].sum()) for s in shard_seqs)
+        sh_motion = np.zeros((d * rows, motion.shape[1]), motion.dtype)
+        sh_audio = np.zeros((d * rows, audio.shape[1]), audio.dtype)
+        sh_offsets = np.zeros((d, slots), np.int32)
+        sh_counts = np.zeros((d, slots), np.int32)
+        for s, seqs in enumerate(shard_seqs):
+            row = 0
+            local_off = []
+            for i in seqs:
+                t = int(lengths[i])
+                sh_motion[s * rows + row: s * rows + row + t] = \
+                    motion[offsets[i]: offsets[i] + t]
+                sh_audio[s * rows + row: s * rows + row + t] = \
+                    audio[offsets[i]: offsets[i] + t]
+                local_off.append(row)
+                row += t
+            for j in range(slots):  # cycle this shard's own sequences
+                k = j % len(seqs)
+                sh_offsets[s, j] = local_off[k]
+                sh_counts[s, j] = counts[seqs[k]]
+        self.slots_per_shard = slots
+        data_sharded = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS, None))
+        table_sharded = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
         self.arrays = {
-            "motion": jax.device_put(np.ascontiguousarray(motion),
-                                     replicated),
-            "audio": jax.device_put(np.ascontiguousarray(audio), replicated),
-            "offsets": jax.device_put(offsets.astype(np.int32), replicated),
-            "counts": jax.device_put(counts.astype(np.int32), replicated),
+            "motion": jax.device_put(sh_motion, data_sharded),
+            "audio": jax.device_put(sh_audio, data_sharded),
+            "offsets": jax.device_put(sh_offsets.reshape(-1), table_sharded),
+            "counts": jax.device_put(sh_counts.reshape(-1), table_sharded),
         }
 
     # -- construction -----------------------------------------------------
 
     @classmethod
     def from_files(cls, files: Sequence[str], dataset_config, batch_size: int,
-                   mesh=None, verify_crc: bool = False) -> "DeviceDataset":
+                   mesh=None, verify_crc: bool = False,
+                   shard_over_data: bool = False) -> "DeviceDataset":
         """Decode tfrecord shards into the resident stores.
 
         Window geometry comes from the dataset config exactly like the
@@ -116,7 +182,8 @@ class DeviceDataset:
         counts = lengths - window + 1
         return cls(np.concatenate(motions), np.concatenate(audios),
                    offsets, counts, motion_in, target_len, target_shift,
-                   audio_in, batch_size, mesh=mesh)
+                   audio_in, batch_size, mesh=mesh,
+                   shard_over_data=shard_over_data)
 
     # -- sampling (pure; called under jit) --------------------------------
 
@@ -128,32 +195,66 @@ class DeviceDataset:
         scan.  Sequence choice is uniform over sequences (matching the
         reference's one-window-per-example-per-epoch marginal), window
         start uniform over the sequence's valid starts.
+
+        Sharded mode: runs under ``shard_map`` — each device draws its
+        ``batch/d`` rows from its LOCAL store block with a key folded by
+        its data-axis index; no collectives touch the stores.
         """
-        k_seq, k_start = jax.random.split(key)
+        if self.shard_over_data:
+            from jax import shard_map
+
+            def local_sample(motion, audio, offsets, counts, key):
+                ax = jax.lax.axis_index(mesh_lib.DATA_AXIS)
+                k = jax.random.fold_in(key, ax)
+                b = self.batch_size // self.mesh.shape[mesh_lib.DATA_AXIS]
+                mo, tg, au = self._draw(motion, audio, offsets[0], counts[0],
+                                        self.slots_per_shard, b, k)
+                return mo, tg, au
+
+            axis = mesh_lib.DATA_AXIS
+            d = self.mesh.shape[axis]
+            mo, tg, au = shard_map(
+                local_sample, mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis), P(axis),
+                          P()),
+                out_specs=(P(axis, None, None),) * 3,
+            )(arrays["motion"], arrays["audio"],
+              arrays["offsets"].reshape(d, -1),
+              arrays["counts"].reshape(d, -1),
+              key)
+            return {"motion_input": mo, "target": tg, "audio_input": au}
+
         b = self.batch_size
-        idx = jax.random.randint(k_seq, (b,), 0, self.n_sequences)
+        mo, tg, au = self._draw(arrays["motion"], arrays["audio"],
+                                arrays["offsets"], arrays["counts"],
+                                self.n_sequences, b, key)
+        sharding = mesh_lib.batch_sharding(self.mesh)
+        batch = {"motion_input": mo, "target": tg, "audio_input": au}
+        return {k: jax.lax.with_sharding_constraint(v, sharding)
+                for k, v in batch.items()}
+
+    def _draw(self, motion_store, audio_store, offsets, counts,
+              n_slots: int, b: int, key: jax.Array):
+        """Uniform (slot, start) draws + batched window gathers."""
+        k_seq, k_start = jax.random.split(key)
+        idx = jax.random.randint(k_seq, (b,), 0, n_slots)
         u = jax.random.uniform(k_start, (b,))
-        counts = arrays["counts"][idx]
-        start = jnp.minimum((u * counts).astype(jnp.int32), counts - 1)
-        pos = arrays["offsets"][idx] + start
+        cnt = counts[idx]
+        start = jnp.minimum((u * cnt).astype(jnp.int32), cnt - 1)
+        pos = offsets[idx] + start
 
         def one(p):
             motion_span = jax.lax.dynamic_slice_in_dim(
-                arrays["motion"], p, self.motion_span, axis=0)
+                motion_store, p, self.motion_span, axis=0)
             audio = jax.lax.dynamic_slice_in_dim(
-                arrays["audio"], p, self.audio_input_len, axis=0)
+                audio_store, p, self.audio_input_len, axis=0)
             return motion_span, audio
 
         motion_span, audio = jax.vmap(one)(pos)
-        sharding = mesh_lib.batch_sharding(self.mesh)
-        batch = {
-            "motion_input": motion_span[:, :self.motion_input_len],
-            "target": motion_span[:, self.target_shift:
-                                  self.target_shift + self.target_len],
-            "audio_input": audio,
-        }
-        return {k: jax.lax.with_sharding_constraint(v, sharding)
-                for k, v in batch.items()}
+        return (motion_span[:, :self.motion_input_len],
+                motion_span[:, self.target_shift:
+                            self.target_shift + self.target_len],
+                audio)
 
     # -- sizing -----------------------------------------------------------
 

@@ -33,6 +33,10 @@ flags.DEFINE_string("output_dir", "outputs", "Where to save the results.")
 flags.DEFINE_integer("steps", 1200, "Frames to generate per clip.")
 flags.DEFINE_float("timeout", 70000,
                    "Seconds to keep watching for new checkpoints.")
+flags.DEFINE_bool("use_bfloat16", False,
+                  "Decode in bfloat16 (the reference evaluates in f32 "
+                  "eager; measured FID impact on the E2E corpus is in "
+                  "docs/E2E.md).")
 # Unused flags kept for sweep compatibility (reference evaluator.py:36-41).
 flags.DEFINE_float("initial_learning_rate", 0.1, "UNUSED FLAG.")
 flags.DEFINE_float("weight_decay", None, "UNUSED FLAG.")
@@ -50,8 +54,12 @@ class _EvalAdapter:
 
 
 def evaluate():
+    import jax.numpy as jnp
+
     pipeline = load_pipeline_config(FLAGS.config_path)
-    model = builder.build(pipeline.multi_modal_model, is_training=True)
+    model = builder.build(
+        pipeline.multi_modal_model, is_training=True,
+        compute_dtype=jnp.bfloat16 if FLAGS.use_bfloat16 else jnp.float32)
     metrics = []  # reference FACT.get_metrics returns [] (fact_model.py:138)
 
     # Factory: a fresh single-pass dataset per checkpoint evaluation

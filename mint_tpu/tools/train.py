@@ -58,6 +58,12 @@ flags.DEFINE_enum("input_backend", "auto",
                   "(zero per-step host->device input traffic; i.i.d. "
                   "window sampling instead of epoch shuffling, see "
                   "data/device_dataset.py).")
+flags.DEFINE_bool("shard_corpus", False,
+                  "With --input_backend=device: shard the resident "
+                  "corpus over the mesh's data axis (per-device HBM = "
+                  "corpus/d; each device samples its local shard inside "
+                  "shard_map, no collectives).  Up to d-1 sequences get "
+                  "one extra draw slot from round-robin padding.")
 
 
 def _make_input(train_config, dataset_config):
@@ -172,7 +178,8 @@ def train():
                 f"{pipeline.train_dataset.data_files!r}")
         train_sampler = DeviceDataset.from_files(
             files, pipeline.train_dataset,
-            batch_size=train_config.batch_size, mesh=mesh)
+            batch_size=train_config.batch_size, mesh=mesh,
+            shard_over_data=FLAGS.shard_corpus)
         logging.info(
             "device-resident dataset: %d sequences, %.1f MB in HBM",
             train_sampler.n_sequences, train_sampler.nbytes / 2**20)

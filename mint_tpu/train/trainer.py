@@ -272,9 +272,10 @@ class Trainer:
                 return state2, last
 
             state_shardings = self._state_shardings(state)
-            replicated = mesh_lib.replicated(self.mesh)
+            # Stores may be replicated or sharded over the data axis
+            # (DeviceDataset shard_over_data) — keep their own layout.
             array_shardings = jax.tree_util.tree_map(
-                lambda _: replicated, dataset.arrays)
+                lambda a: a.sharding, dataset.arrays)
             self._multi_fn[cache_key] = jax.jit(
                 loop_fn,
                 in_shardings=(state_shardings, array_shardings),

@@ -114,6 +114,73 @@ def test_window_starts_cover_range(tmp_path):
     assert starts == set(range(5))  # 20 - 16 + 1 valid starts
 
 
+def test_sharded_stores_sample_valid_windows(tmp_path):
+    """shard_over_data: every device samples only from its local shard,
+    windows still trace back to exact source rows, memory is ~1/d."""
+    lengths = tuple(20 + 3 * i for i in range(10))  # 10 seqs over 8 shards
+    files = write_corpus(tmp_path, lengths=lengths)
+    mesh = make_mesh(8, 1)
+    repl = DeviceDataset.from_files(files, small_dataset_config(),
+                                    batch_size=16, mesh=mesh)
+    dset = DeviceDataset.from_files(files, small_dataset_config(),
+                                    batch_size=16, mesh=mesh,
+                                    shard_over_data=True)
+    assert dset.shard_over_data
+    # Each device's store block is far smaller than the replicated one.
+    local = dset.arrays["motion"].addressable_shards[0].data
+    assert local.shape[0] * 8 == dset.arrays["motion"].shape[0]
+
+    sample = jax.jit(dset.sample)
+    seen_seqs = set()
+    for i in range(30):
+        batch = sample(dset.arrays, jax.random.PRNGKey(i))
+        motion = np.asarray(batch["motion_input"])
+        target = np.asarray(batch["target"])
+        audio = np.asarray(batch["audio_input"])
+        assert motion.shape == (16, 8, 225)
+        for b in range(16):
+            val = motion[b, 0, 6]
+            seq, start = int(val) // 1000, int(val) % 1000
+            t_len = lengths[seq]
+            seen_seqs.add(seq)
+            assert 0 <= start <= t_len - 16, (seq, start)
+            np.testing.assert_allclose(
+                motion[b, :, 6], 1000.0 * seq + start + np.arange(8),
+                rtol=1e-6)
+            np.testing.assert_allclose(
+                target[b, :, 6], 1000.0 * seq + start + 8 + np.arange(2),
+                rtol=1e-6)
+            np.testing.assert_allclose(
+                audio[b, :, 0], -1000.0 * seq - (start + np.arange(16)),
+                rtol=1e-6)
+    assert seen_seqs == set(range(10))  # all sequences reachable
+
+    # No store-sized collective: the compiled program must not all-gather
+    # the sharded stores (the failure mode of naive sharding).
+    txt = sample.lower(dset.arrays, jax.random.PRNGKey(0)) \
+                .compile().as_text()
+    assert "all-gather" not in txt, "sharded store was gathered"
+    del repl
+
+
+def test_sharded_training_runs_and_converges(tmp_path):
+    files = write_corpus(tmp_path, lengths=(40, 60, 32, 48, 56, 36, 44,
+                                            52, 28, 64))
+    dset = DeviceDataset.from_files(files, small_dataset_config(),
+                                    batch_size=16, mesh=make_mesh(4, 2),
+                                    shard_over_data=True)
+    model = _tiny_model()
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=dset.mesh)
+    state = trainer.init_state(params)
+    losses = []
+    for start in range(0, 30, 10):
+        state, metrics = trainer.train_steps_sampled(state, dset, loop=10)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 30
+    assert losses[-1] < losses[0] / 2, losses
+
+
 def _tiny_model():
     cfg = copy.deepcopy(load_pipeline_config(CONFIG).multi_modal_model)
     fact = cfg.fact_model
