@@ -276,7 +276,9 @@ def chroma_cqt(y: np.ndarray, sr: int, hop: int = 512, n_chroma: int = 12,
     """[frames, n_chroma] chroma from |CQT| (norm=None, like chroma_cens
     uses it)."""
     if tuning is None:
-        tuning = estimate_tuning(y, sr)
+        # librosa's cqt passes ITS bins_per_octave to the tuning estimate
+        # — the tuning offset is in units of this resolution's bins.
+        tuning = estimate_tuning(y, sr, bins_per_octave=bins_per_octave)
     C = cqt_magnitude(y, sr, hop=hop, tuning=tuning,
                       n_bins=n_octaves * bins_per_octave,
                       bins_per_octave=bins_per_octave)

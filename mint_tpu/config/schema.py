@@ -452,24 +452,51 @@ def load_pipeline_config(path: str,
     return pipeline_from_msg(msg)
 
 
+def _repeated_field_names() -> frozenset:
+    """Field names that are repeated anywhere in the config schema.
+
+    Computed FROM the dataclasses (List-typed fields), so the merge
+    below has real cardinality information instead of guessing from
+    occurrence counts.  Names classify unambiguously: no field name is
+    repeated in one message and singular in another (asserted)."""
+    import dataclasses as dc
+    import sys
+    repeated, singular = set(), set()
+    module = sys.modules[__name__]
+    for name in dir(module):
+        obj = getattr(module, name)
+        if dc.is_dataclass(obj) and isinstance(obj, type):
+            for f in dc.fields(obj):
+                t = str(f.type)
+                is_list = t.startswith(("List[", "typing.List"))
+                (repeated if is_list else singular).add(f.name)
+    clash = repeated & singular
+    assert not clash, f"ambiguous repeated/singular field names: {clash}"
+    return frozenset(repeated)
+
+
+_REPEATED_FIELDS: Optional[frozenset] = None
+
+
 def _merge_msg(base: Msg, override: Msg) -> None:
     """Recursive merge with protobuf ``text_format.Merge`` semantics:
     singular message fields merge field-by-field, singular scalar fields
-    are overwritten, repeated fields (message or scalar) are appended.
-
-    Schema-less heuristic for "repeated": a field with multiple
-    occurrences on either side is treated as repeated (e.g.
-    ``pck_thresholds``); a single-occurrence scalar is treated as
-    singular and overwritten.
+    are overwritten, repeated fields (message or scalar) are appended —
+    repeated-ness comes from the schema (``_repeated_field_names``), so
+    a single-occurrence repeated scalar (e.g. one ``pck_thresholds``
+    entry on each side) correctly appends instead of overwriting.
     """
+    global _REPEATED_FIELDS
+    if _REPEATED_FIELDS is None:
+        _REPEATED_FIELDS = _repeated_field_names()
     for key, value in override.items():
         existing = base.get(key)
+        repeated = key in _REPEATED_FIELDS
         if isinstance(value, Msg) and isinstance(existing, Msg) \
-                and len(base.get_all(key)) == 1 \
-                and len(override.get_all(key)) == 1:
+                and not repeated:
             _merge_msg(existing, value)
         elif not isinstance(value, Msg):
-            if len(base.get_all(key)) > 1 or len(override.get_all(key)) > 1:
+            if repeated:
                 base.add(key, value)  # repeated scalar: Merge appends
             else:
                 base.replace(key, value)

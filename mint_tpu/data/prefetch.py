@@ -28,6 +28,7 @@ class DevicePrefetcher:
         self._place = place
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._err: Optional[BaseException] = None
+        self._done = False
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -58,8 +59,15 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        if self._done:
+            # Iterator contract: exhaustion/error must repeat on every
+            # subsequent next() — the producer only queues _DONE once.
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
         item = self._q.get()
         if item is self._DONE:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
@@ -74,6 +82,13 @@ class DevicePrefetcher:
         except queue.Empty:
             pass
         self._thread.join(timeout=5)
+        if self._thread.is_alive():
+            # The producer is still blocked inside next(upstream) (e.g.
+            # the native loader reading a slow disk).  Closing the
+            # upstream now would free the C++ loader handle UNDER the
+            # blocked thread — use-after-free.  Leak the handle instead;
+            # the daemon thread dies with the process.
+            return
         close = getattr(self._upstream, "close", None)
         if close is not None:
             close()

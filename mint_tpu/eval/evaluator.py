@@ -132,13 +132,16 @@ class Evaluator:
         # Pad a partial final batch up to decode_batch by repeating the
         # last clip (trimmed below): every bucket then reuses ONE compiled
         # decode program instead of compiling per leftover size — compile
-        # dominates one-shot eval wall time.
-        pad = (self.decode_batch - n_real
-               if 0 < self.decode_batch - n_real < self.decode_batch else 0)
+        # dominates one-shot eval wall time.  With a mesh, the padded
+        # total is then rounded UP to a data-axis multiple (padding to
+        # exactly decode_batch would break sharding whenever decode_batch
+        # itself is not divisible by the data axis, e.g. 64 on 6 devices).
+        target = self.decode_batch if n_real < self.decode_batch else n_real
         if self.mesh is not None:
             from mint_tpu.parallel import mesh as mesh_lib
             data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
-            pad = max(pad, (-n_real) % data_size)
+            target += (-target) % data_size
+        pad = target - n_real
         if pad:
             motion = np.concatenate(
                 [motion, np.repeat(motion[-1:], pad, axis=0)])

@@ -74,6 +74,9 @@ class Trainer:
 
         self._step_fn = None
         self._multi_fn: Dict[int, Any] = {}
+        import weakref
+        self._sampled_fn: "weakref.WeakKeyDictionary" = \
+            weakref.WeakKeyDictionary()
 
     def init_state(self, params) -> TrainState:
         """Build a TrainState with params/opt state laid out on the mesh."""
@@ -254,8 +257,14 @@ class Trainer:
         absolute_step)``, so a preemption-resumed run draws exactly the
         windows the uninterrupted run would have drawn.
         """
-        cache_key = ("sampled", id(dataset), int(loop), int(seed))
-        if self._multi_fn.get(cache_key) is None:
+        # Weak-keyed per-dataset cache: the compiled loop closes over
+        # dataset.sample, and a strong id()-keyed entry would pin every
+        # retired dataset's multi-GB HBM stores for the Trainer's
+        # lifetime.  With a weak key the entry (and the closure's pin)
+        # dies with the dataset.
+        per_dataset = self._sampled_fn.setdefault(dataset, {})
+        cache_key = (int(loop), int(seed))
+        if per_dataset.get(cache_key) is None:
             step_fn = self._make_step_fn()
             sample = dataset.sample
 
@@ -276,10 +285,10 @@ class Trainer:
             # (DeviceDataset shard_over_data) — keep their own layout.
             array_shardings = jax.tree_util.tree_map(
                 lambda a: a.sharding, dataset.arrays)
-            self._multi_fn[cache_key] = jax.jit(
+            per_dataset[cache_key] = jax.jit(
                 loop_fn,
                 in_shardings=(state_shardings, array_shardings),
                 out_shardings=(state_shardings, None),
                 donate_argnums=(0,),
             )
-        return self._multi_fn[cache_key](state, dataset.arrays)
+        return per_dataset[cache_key](state, dataset.arrays)

@@ -146,15 +146,23 @@ def test_config_override_merges_recursively():
 
 def test_override_repeated_scalar_appends():
     """text_format.Merge APPENDS repeated scalar occurrences; singular
-    scalars are overwritten (last wins)."""
+    scalars are overwritten.  Repeated-ness comes from the SCHEMA (List
+    fields), not from occurrence counting — the single-occurrence-each
+    case must still append."""
     from mint_tpu.config.schema import _merge_msg
 
-    base = textproto.parse("pck_thresholds: 0.1 pck_thresholds: 0.2 a: 1")
-    over = textproto.parse("pck_thresholds: 0.3 a: 2")
+    base = textproto.parse(
+        "pck_thresholds: 0.1 pck_thresholds: 0.2 batch_size: 1")
+    over = textproto.parse("pck_thresholds: 0.3 batch_size: 2")
     _merge_msg(base, over)
     assert base.get_all("pck_thresholds") == [0.1, 0.2, 0.3]
-    assert base.get_all("a") == [2]
-    # Override-side multi-occurrence is also a repeated field: append all.
-    base2 = textproto.parse("b: 7")
-    _merge_msg(base2, textproto.parse("b: 8 b: 9"))
-    assert base2.get_all("b") == [7, 8, 9]
+    assert base.get_all("batch_size") == [2]
+    # ONE occurrence on each side of a schema-repeated field: append,
+    # not overwrite (the old occurrence-count heuristic got this wrong).
+    base2 = textproto.parse("pck_thresholds: 0.05")
+    _merge_msg(base2, textproto.parse("pck_thresholds: 0.1"))
+    assert base2.get_all("pck_thresholds") == [0.05, 0.1]
+    # Repeated MESSAGE fields append as well (e.g. LR schedule entries).
+    base3 = textproto.parse("schedule { step: 1 } ")
+    _merge_msg(base3, textproto.parse("schedule { step: 2 }"))
+    assert [m.get("step") for m in base3.get_all("schedule")] == [1, 2]

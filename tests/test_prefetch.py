@@ -85,3 +85,62 @@ def test_overlaps_production_with_consumption():
     pf.close()
     # Serial would be ~0.8 s; overlapped ~0.45 s. Allow CI slack.
     assert elapsed < 0.7, elapsed
+
+def test_exhaustion_and_error_repeat_on_next():
+    """Iterator contract: StopIteration (and a propagated producer error)
+    must repeat on EVERY subsequent next() — the _DONE sentinel is queued
+    once, so a retrying consumer used to hang forever on the empty
+    queue."""
+    pf = DevicePrefetcher(iter([{"x": 1}]), lambda b: b)
+    assert next(pf) == {"x": 1}
+    for _ in range(3):
+        try:
+            next(pf)
+            assert False, "expected StopIteration"
+        except StopIteration:
+            pass
+
+    def boom():
+        raise IOError("bad shard")
+        yield  # pragma: no cover
+
+    pf2 = DevicePrefetcher(boom(), lambda b: b)
+    for _ in range(3):
+        try:
+            next(pf2)
+            assert False, "expected IOError"
+        except IOError:
+            pass
+
+
+def test_close_with_blocked_producer_keeps_upstream_alive():
+    """If the producer thread is still stuck inside next(upstream) after
+    the join timeout, close() must NOT free the upstream under it
+    (use-after-free with the native loader's C++ handle)."""
+    import threading
+
+    release = threading.Event()
+
+    class Blocking:
+        closed = False
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            release.wait(timeout=30)
+            raise StopIteration
+
+        def close(self):
+            self.closed = True
+
+    up = Blocking()
+    pf = DevicePrefetcher(up, lambda b: b)
+    time.sleep(0.1)  # let the producer block inside next(upstream)
+    pf._thread.join(timeout=0)  # it is alive
+    assert pf._thread.is_alive()
+    orig_join = pf._thread.join
+    pf._thread.join = lambda timeout=None: orig_join(timeout=0.2)
+    pf.close()
+    assert not up.closed  # left alive for the blocked thread
+    release.set()

@@ -98,6 +98,22 @@ class TestEvaluator:
         out = np.load(tmp_path / files[0])
         assert out.shape == (12 + steps, 225)  # seed + generated
 
+    def test_partial_bucket_pad_divisible_by_data_axis(self, tiny_model,
+                                                       tmp_path):
+        """Regression: padding a partial bucket to decode_batch must then
+        round UP to a data-axis multiple — decode_batch=8 on a 6-wide
+        data axis previously produced an 8-row batch that device_put
+        rejected (8 % 6 != 0)."""
+        import jax
+        from mint_tpu.parallel import make_mesh
+
+        model, params = tiny_model
+        mesh = make_mesh(data=6, model=1, devices=jax.devices()[:6])
+        ev = Evaluator(model, self._dataset(n_clips=2), steps=5,
+                       output_dir=str(tmp_path), decode_batch=8, mesh=mesh)
+        ev.evaluate(params)  # 2 clips -> target 8 -> padded to 12
+        assert len(os.listdir(tmp_path)) == 2  # pad clips trimmed
+
     def test_protocol_clamps_to_audio_length(self, tiny_model, tmp_path):
         # audio 30 frames, window 24 -> reference generates 7 frames max.
         model, params = tiny_model
