@@ -1,7 +1,8 @@
 """Worker: run the REAL `tools/train.py --distributed` CLI as one process
 of a simulated multi-host cluster (N processes x 2 virtual CPU devices).
 
-Usage: python multihost_train_cli.py <proc_id> <nprocs> <port> <root> <steps>
+Usage: python multihost_train_cli.py <proc_id> <nprocs> <port> <root> \
+           <steps> [input_backend]
 
 Exercises the full production bring-up: jax.distributed.initialize with an
 explicit coordinator, a (data x model) mesh spanning processes, the native
@@ -18,6 +19,7 @@ sys.path.insert(0, REPO)
 proc_id, nprocs, port, root, steps = (int(sys.argv[1]), int(sys.argv[2]),
                                       sys.argv[3], sys.argv[4],
                                       int(sys.argv[5]))
+backend = sys.argv[6] if len(sys.argv) > 6 else "auto"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
 import jax  # noqa: E402
@@ -41,6 +43,7 @@ sys.argv = [
     f"--coordinator_address=127.0.0.1:{port}",
     f"--num_processes={nprocs}",
     f"--process_id={proc_id}",
+    f"--input_backend={backend}",
 ]
 try:
     app.run(main)

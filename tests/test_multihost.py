@@ -99,13 +99,13 @@ def _write_tiny_tfrecords(root):
             }))
 
 
-def _launch_cluster(nprocs, root, steps):
+def _launch_cluster(nprocs, root, steps, backend="auto"):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen(
         [sys.executable, CLI_WORKER, str(i), str(nprocs), str(port),
-         str(root), str(steps)],
+         str(root), str(steps), backend],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for i in range(nprocs)]
     outs = []
@@ -136,3 +136,18 @@ def test_four_process_train_cli_and_resume(tmp_path):
     ckpts = sorted(int(d) for d in os.listdir(tmp_path / "model")
                    if d.isdigit())
     assert max(ckpts) == 10, ckpts
+
+
+@pytest.mark.integration
+def test_two_process_device_backend_cli(tmp_path):
+    """2 hosts x 2 devices with --input_backend=device: every process
+    uploads the same HBM-resident corpus (replicated across the
+    cross-process mesh) and the fused sampled train scan runs SPMD over
+    both hosts."""
+    _write_tiny_tfrecords(tmp_path)
+    (tmp_path / "tiny.config").write_text(TINY_CONFIG.format(root=tmp_path))
+    outs = _launch_cluster(2, tmp_path, steps=6, backend="device")
+    assert all("CLI_OK" in o for o in outs), outs
+    ckpts = sorted(int(d) for d in os.listdir(tmp_path / "model")
+                   if d.isdigit())
+    assert ckpts and max(ckpts) == 6, ckpts
