@@ -53,7 +53,8 @@ class GenerationService:
 
     def __init__(self, model: FACT, params, batch_window_ms: float = 10.0,
                  max_batch: int = 32, default_steps: int = 1200,
-                 steps_bucket: int = 128, unroll: int = 8):
+                 steps_bucket: int = 128, unroll: int = 8,
+                 request_timeout: float = 300.0):
         """`steps_bucket` quantizes generation lengths upward so XLA
         compiles one decoder per (batch-bucket, steps-bucket) instead of
         one per distinct client audio length; extra frames use zero
@@ -71,6 +72,7 @@ class GenerationService:
         self.default_steps = default_steps
         self.steps_bucket = max(1, steps_bucket)
         self.unroll = unroll
+        self.request_timeout = request_timeout
         self.motion_dim = (
             model.config.cross_modal_model.output_layer.out_dim)
         self.stats = {"requests": 0, "batches": 0, "generated_frames": 0}
@@ -93,7 +95,11 @@ class GenerationService:
 
     def generate(self, audio: np.ndarray, seed: Optional[np.ndarray] = None,
                  steps: Optional[int] = None,
-                 timeout: float = 300.0) -> np.ndarray:
+                 timeout: Optional[float] = None) -> np.ndarray:
+        if timeout is None:
+            # First-compile of a new length bucket can take minutes on a
+            # slow-compile host; the flag/server owner sets the budget.
+            timeout = self.request_timeout
         # Validate per-request so one bad request cannot fail the bucket
         # it would have been co-batched with.
         motion_seq = self.model.motion_seq_length
@@ -307,6 +313,9 @@ def main(argv=None):
     flags.DEFINE_string("host", "0.0.0.0", "Bind host.")
     flags.DEFINE_integer("port", 8490, "Bind port.")
     flags.DEFINE_integer("steps", 1200, "Default generation length.")
+    flags.DEFINE_float("request_timeout", 900.0,
+                       "Per-request generation timeout (seconds); must "
+                       "cover the FIRST compile of each length bucket).")
 
     def run(_):
         from mint_tpu.config.schema import load_pipeline_config
@@ -322,7 +331,8 @@ def main(argv=None):
             raw = CheckpointManager(FLAGS.checkpoint_dir).restore_raw()
             params = raw["params"]
         service = GenerationService(model, params,
-                                    default_steps=FLAGS.steps)
+                                    default_steps=FLAGS.steps,
+                                    request_timeout=FLAGS.request_timeout)
         server = serve(service, FLAGS.host, FLAGS.port)
         print(f"serving on {FLAGS.host}:{FLAGS.port}")
         try:
