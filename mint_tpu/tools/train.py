@@ -46,6 +46,10 @@ flags.DEFINE_integer("checkpoint_interval", 1000,
 flags.DEFINE_integer("summary_interval", 10, "Steps between summaries.")
 flags.DEFINE_bool("use_bfloat16", False,
                   "Run forward/backward compute in bfloat16.")
+flags.DEFINE_integer("loop_unroll", 1,
+                     "lax.scan unroll for the fused train loop (XLA "
+                     "schedules across step boundaries; measured neutral "
+                     "at FACT shapes, knob kept for other models).")
 flags.DEFINE_integer("accumulate_steps", 1,
                      "Micro-batches to average per optimizer update "
                      "(gradient accumulation).")
@@ -159,7 +163,8 @@ def train():
         warmup_steps=FLAGS.warmup_steps)
     trainer = Trainer(model, schedule,
                       grad_clip_norm=FLAGS.grad_clip_norm, mesh=mesh,
-                      accumulate_steps=FLAGS.accumulate_steps)
+                      accumulate_steps=FLAGS.accumulate_steps,
+                      loop_unroll=FLAGS.loop_unroll)
     params = init_params(model, jax.random.PRNGKey(0))
     state = trainer.init_state(params)
 

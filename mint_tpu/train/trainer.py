@@ -47,7 +47,8 @@ class Trainer:
                  loss_fn: Callable = l2_loss,
                  mesh=None,
                  accumulate_steps: int = 1,
-                 adam_epsilon: float = 1e-7):
+                 adam_epsilon: float = 1e-7,
+                 loop_unroll: int = 1):
         """`accumulate_steps` > 1 averages gradients over that many
         micro-batches before applying the optimizer (optax MultiSteps) —
         large effective batches without the memory.  NOTE: with
@@ -60,6 +61,10 @@ class Trainer:
         self.loss_fn = loss_fn
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.accumulate_steps = accumulate_steps
+        # lax.scan unroll for the fused multi-step loops (train_steps /
+        # train_steps_sampled).  Same lever as the decoder's unroll: the
+        # emitter can schedule across step boundaries.  1 = off.
+        self.loop_unroll = max(1, int(loop_unroll))
 
         # eps default 1e-7 = tf.keras Adam's default (the reference's
         # optimizer, trainer.py:150); optax's own default is 1e-8.
@@ -230,7 +235,8 @@ class Trainer:
                     s2, m = step_fn(s, b)
                     return s2, m
 
-                state, ms = jax.lax.scan(body, state, stacked)
+                state, ms = jax.lax.scan(body, state, stacked,
+                                         unroll=self.loop_unroll)
                 last = jax.tree_util.tree_map(lambda x: x[-1], ms)
                 return state, last
 
@@ -276,7 +282,8 @@ class Trainer:
                 def body(s, k):
                     return step_fn(s, sample(arrays, k))
 
-                state2, ms = jax.lax.scan(body, state, keys)
+                state2, ms = jax.lax.scan(body, state, keys,
+                                          unroll=self.loop_unroll)
                 last = jax.tree_util.tree_map(lambda x: x[-1], ms)
                 return state2, last
 
