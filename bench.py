@@ -77,5 +77,21 @@ def main():
     }))
 
 
+def main_with_retry(attempts: int = 3, backoff_s: float = 180.0):
+    """The tunneled chip's worker occasionally restarts mid-run
+    (observed: FAILED_PRECONDITION / 'TPU worker process crashed'), and
+    it recovers on its own within minutes — retry so a transient worker
+    restart can't turn the recorded benchmark into a crash."""
+    for attempt in range(attempts):
+        try:
+            return main()
+        except Exception as e:  # jax runtime errors vary by type
+            if attempt == attempts - 1:
+                raise
+            print(f"# bench attempt {attempt + 1} failed ({e!r}); "
+                  f"retrying in {backoff_s:.0f}s", flush=True)
+            time.sleep(backoff_s)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()
