@@ -97,6 +97,25 @@ class TestService:
         with pytest.raises(ValueError, match="audio too short"):
             service.generate(np.zeros((10, 35), np.float32), steps=5)
 
+    def test_request_timeout_default_comes_from_service(self, service):
+        """generate() without an explicit timeout uses the service's
+        request_timeout (CLI --request_timeout) — a too-small budget
+        must surface as TimeoutError, not hang."""
+        old = service.request_timeout
+        service.request_timeout = 1e-4
+        try:
+            with pytest.raises(TimeoutError):
+                service.generate(
+                    RNG.standard_normal((40, 35)).astype(np.float32),
+                    steps=10)
+        finally:
+            service.request_timeout = old
+        # An explicit per-call timeout still overrides the default.
+        out = service.generate(
+            RNG.standard_normal((40, 35)).astype(np.float32),
+            steps=10, timeout=120.0)
+        assert out.shape == (10, 225)
+
 
 class TestHTTP:
     @pytest.fixture(scope="class")
