@@ -80,18 +80,31 @@ def main():
 def main_with_retry(attempts: int = 3, backoff_s: float = 180.0):
     """The tunneled chip's worker occasionally restarts mid-run
     (observed: FAILED_PRECONDITION / 'TPU worker process crashed'), and
-    it recovers on its own within minutes — retry so a transient worker
-    restart can't turn the recorded benchmark into a crash."""
+    it recovers on its own within minutes.  JAX caches the PJRT client
+    at first use, so an in-process retry would reuse the DEAD backend —
+    each attempt therefore runs in a fresh subprocess (fresh backend
+    bring-up); this parent only orchestrates and never touches jax."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["MINT_BENCH_CHILD"] = "1"
     for attempt in range(attempts):
-        try:
-            return main()
-        except Exception as e:  # jax runtime errors vary by type
-            if attempt == attempts - 1:
-                raise
-            print(f"# bench attempt {attempt + 1} failed ({e!r}); "
-                  f"retrying in {backoff_s:.0f}s", flush=True)
-            time.sleep(backoff_s)
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, cwd=os.path.dirname(
+                                  os.path.abspath(__file__)))
+        if proc.returncode == 0:
+            return
+        if attempt == attempts - 1:
+            raise SystemExit(proc.returncode)
+        print(f"# bench attempt {attempt + 1} failed "
+              f"(rc={proc.returncode}); retrying in {backoff_s:.0f}s "
+              "in a fresh process", flush=True)
+        time.sleep(backoff_s)
 
 
 if __name__ == "__main__":
-    main_with_retry()
+    if os.environ.get("MINT_BENCH_CHILD"):
+        main()
+    else:
+        main_with_retry()

@@ -471,7 +471,9 @@ def _repeated_field_names() -> frozenset:
                 is_list = t.startswith(("List[", "typing.List"))
                 (repeated if is_list else singular).add(f.name)
     clash = repeated & singular
-    assert not clash, f"ambiguous repeated/singular field names: {clash}"
+    if clash:  # explicit raise: must survive python -O
+        raise RuntimeError(
+            f"ambiguous repeated/singular field names in schema: {clash}")
     return frozenset(repeated)
 
 
@@ -491,7 +493,13 @@ def _merge_msg(base: Msg, override: Msg) -> None:
         _REPEATED_FIELDS = _repeated_field_names()
     for key, value in override.items():
         existing = base.get(key)
-        repeated = key in _REPEATED_FIELDS
+        # Schema says repeated, OR (for fields the dataclasses don't
+        # model, e.g. forward-compat keys kept only in the Msg tree)
+        # fall back to the occurrence-count heuristic — never collapse a
+        # multi-occurrence field with replace().
+        repeated = (key in _REPEATED_FIELDS
+                    or len(base.get_all(key)) > 1
+                    or len(override.get_all(key)) > 1)
         if isinstance(value, Msg) and isinstance(existing, Msg) \
                 and not repeated:
             _merge_msg(existing, value)

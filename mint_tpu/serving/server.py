@@ -54,7 +54,7 @@ class GenerationService:
     def __init__(self, model: FACT, params, batch_window_ms: float = 10.0,
                  max_batch: int = 32, default_steps: int = 1200,
                  steps_bucket: int = 128, unroll: int = 8,
-                 request_timeout: float = 300.0):
+                 request_timeout: float = 900.0):
         """`steps_bucket` quantizes generation lengths upward so XLA
         compiles one decoder per (batch-bucket, steps-bucket) instead of
         one per distinct client audio length; extra frames use zero
@@ -314,8 +314,9 @@ def main(argv=None):
     flags.DEFINE_integer("port", 8490, "Bind port.")
     flags.DEFINE_integer("steps", 1200, "Default generation length.")
     flags.DEFINE_float("request_timeout", 900.0,
-                       "Per-request generation timeout (seconds); must "
-                       "cover the FIRST compile of each length bucket).")
+                       "Per-request generation timeout in seconds; must "
+                       "cover the FIRST compile of each length bucket "
+                       "(~400 s observed on a slow-compile host).")
 
     def run(_):
         from mint_tpu.config.schema import load_pipeline_config

@@ -263,16 +263,20 @@ class Trainer:
         absolute_step)``, so a preemption-resumed run draws exactly the
         windows the uninterrupted run would have drawn.
         """
-        # Weak-keyed per-dataset cache: the compiled loop closes over
-        # dataset.sample, and a strong id()-keyed entry would pin every
-        # retired dataset's multi-GB HBM stores for the Trainer's
-        # lifetime.  With a weak key the entry (and the closure's pin)
-        # dies with the dataset.
+        # Weak-keyed per-dataset cache: a strong id()-keyed entry would
+        # pin every retired dataset's multi-GB HBM stores for the
+        # Trainer's lifetime.  The closure must NOT hold the bound
+        # method `dataset.sample` — value -> bound method -> key would
+        # make the weak entry immortal — so it closes over the UNBOUND
+        # function plus a weakref, dereferenced only at trace time
+        # (while the caller necessarily holds the dataset).
+        import weakref
         per_dataset = self._sampled_fn.setdefault(dataset, {})
         cache_key = (int(loop), int(seed))
         if per_dataset.get(cache_key) is None:
             step_fn = self._make_step_fn()
-            sample = dataset.sample
+            sample_unbound = type(dataset).sample
+            dataset_ref = weakref.ref(dataset)
 
             def loop_fn(state, arrays):
                 base = jax.random.PRNGKey(seed)
@@ -280,7 +284,8 @@ class Trainer:
                 keys = jax.vmap(lambda s: jax.random.fold_in(base, s))(steps)
 
                 def body(s, k):
-                    return step_fn(s, sample(arrays, k))
+                    return step_fn(s, sample_unbound(dataset_ref(), arrays,
+                                                     k))
 
                 state2, ms = jax.lax.scan(body, state, keys,
                                           unroll=self.loop_unroll)

@@ -166,3 +166,12 @@ def test_override_repeated_scalar_appends():
     base3 = textproto.parse("schedule { step: 1 } ")
     _merge_msg(base3, textproto.parse("schedule { step: 2 }"))
     assert [m.get("step") for m in base3.get_all("schedule")] == [1, 2]
+    # Fields UNKNOWN to the schema (forward-compat keys that only live in
+    # the Msg tree) fall back to the occurrence-count heuristic: a field
+    # with multiple occurrences on either side must never be collapsed.
+    base4 = textproto.parse("b: 7")
+    _merge_msg(base4, textproto.parse("b: 8 b: 9"))
+    assert base4.get_all("b") == [7, 8, 9]
+    base5 = textproto.parse("x: 1 x: 2")
+    _merge_msg(base5, textproto.parse("x: 3 x: 4"))
+    assert base5.get_all("x") == [1, 2, 3, 4]

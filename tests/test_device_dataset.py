@@ -254,6 +254,29 @@ def test_sampled_resume_draws_same_windows(tmp_path):
                                    rtol=1e-6, atol=1e-8)
 
 
+def test_retired_dataset_is_garbage_collected(tmp_path):
+    """The trainer's compiled-loop cache must not pin a retired
+    DeviceDataset (its HBM stores are multi-GB at production scale).
+    Regression: closing over the BOUND method dataset.sample made the
+    weak-keyed cache entry's value reference its own key — immortal."""
+    import gc
+    import weakref
+
+    files = write_corpus(tmp_path, lengths=(40, 60))
+    dset = DeviceDataset.from_files(files, small_dataset_config(),
+                                    batch_size=8, mesh=make_mesh(8, 1))
+    model = _tiny_model()
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=dset.mesh)
+    state = trainer.init_state(params)
+    state, _ = trainer.train_steps_sampled(state, dset, loop=2)
+
+    ref = weakref.ref(dset)
+    del dset
+    gc.collect()
+    assert ref() is None, "trainer cache still pins the retired dataset"
+
+
 def test_controller_with_sampler_trains_and_checkpoints(tmp_path):
     from mint_tpu.train import CheckpointManager
 
