@@ -32,7 +32,8 @@ class Evaluator:
     def __init__(self, model: FACT, dataset,
                  metrics: Sequence = (), output_dir: Optional[str] = None,
                  steps: int = 1200, decode_batch: int = 64, mesh=None,
-                 dispatch_chunk: Optional[int] = 200):
+                 dispatch_chunk: Optional[int] = 200,
+                 steps_bucket: Optional[int] = None):
         """`dataset` is an iterable of batches, or a zero-arg callable
         returning one (for continuous eval, which runs a pass per
         checkpoint — reference re-iterates its tf.data.Dataset).  A plain
@@ -47,6 +48,15 @@ class Evaluator:
         a full-eval f32 batch-64 1200-step program is minutes of device
         time in ONE dispatch, which the tunneled single-chip platform's
         worker can drop mid-run.
+
+        `steps_bucket` (optional) quantizes generatable lengths UPWARD so
+        nearby audio lengths share one compiled decode program instead of
+        one per distinct length (compile dominates one-shot eval; real
+        AIST++ music lengths vary).  Exact: decode frame i only reads
+        audio rows [i, i+window), which are fully real for i < the
+        clip's true length; the extra frames (decoded over zero-padded
+        audio) are trimmed per clip before saving and metrics.  Same
+        scheme the serving path uses (serving/server.py).
         """
         self.model = model
         self.dataset = dataset
@@ -56,6 +66,7 @@ class Evaluator:
         self.decode_batch = decode_batch
         self.mesh = mesh
         self.dispatch_chunk = dispatch_chunk
+        self.steps_bucket = steps_bucket
         self._cache: Optional[List[Dict]] = None
 
     def _examples(self) -> List[Dict]:
@@ -100,14 +111,18 @@ class Evaluator:
             os.makedirs(self.output_dir, exist_ok=True)
 
         examples = self._examples()
-        # Bucket clips by how many frames the reference protocol generates.
+        # Bucket clips by how many frames the reference protocol generates
+        # (quantized upward when steps_bucket is set; trimmed per clip).
         buckets = collections.defaultdict(list)
         skipped = []
         for ex in examples:
             n = decoder.max_steps(self.model, ex["audio_input"].shape[0],
                                   self.steps)
             if n > 0:
-                buckets[n].append(ex)
+                ex = dict(ex, true_steps=n)
+                key = (n if self.steps_bucket is None
+                       else -(-n // self.steps_bucket) * self.steps_bucket)
+                buckets[key].append(ex)
             else:
                 skipped.append(_decode(ex["motion_name"]))
         if skipped:
@@ -127,7 +142,14 @@ class Evaluator:
     def _run_bucket(self, params, bucket: List[Dict], n_steps: int) -> None:
         audio_len = n_steps + self.model.audio_seq_length - 1
         motion = np.stack([ex["motion_input"] for ex in bucket])
-        audio = np.stack([ex["audio_input"][:audio_len] for ex in bucket])
+        # With quantized buckets a clip's audio may be shorter than the
+        # bucket's decode horizon: zero-pad the tail.  Exact for the kept
+        # frames — frame i < true_steps reads only real audio rows.
+        audio = np.stack([
+            np.pad(a := np.asarray(ex["audio_input"][:audio_len],
+                                   np.float32),
+                   [[0, audio_len - a.shape[0]], [0, 0]])
+            for ex in bucket])
         n_real = len(bucket)
         # Pad a partial final batch up to decode_batch by repeating the
         # last clip (trimmed below): every bucket then reuses ONE compiled
@@ -163,18 +185,33 @@ class Evaluator:
         motion = np.asarray(motion)[:n_real]
         audio = np.asarray(audio)[:n_real]
 
+        motion_seq = self.model.motion_seq_length
         if self.output_dir is not None:
             for i, ex in enumerate(bucket):
                 name = "%s_%s.npy" % (_decode(ex["motion_name"]),
                                       _decode(ex["audio_name"]))
-                np.save(os.path.join(self.output_dir, name), full[i])
+                # Trim quantization overshoot: seed + the clip's TRUE
+                # generatable length (the reference protocol's output).
+                np.save(os.path.join(self.output_dir, name),
+                        full[i][:motion_seq + ex.get("true_steps", n_steps)])
 
-        for metric in self.metrics:
-            inputs = {"motion_input": motion, "audio_input": audio}
-            targets = [ex["target"] for ex in bucket]
-            if all(t is not None for t in targets):
-                inputs["target"] = np.stack(targets)
-            metric.update_state(inputs, full)
+        if self.metrics:
+            # Metrics must never see frames decoded past a clip's true
+            # length: group by true length and update per group.
+            groups = collections.defaultdict(list)
+            for i, ex in enumerate(bucket):
+                groups[ex.get("true_steps", n_steps)].append(i)
+            for true_n, idxs in sorted(groups.items()):
+                sel = np.asarray(idxs)
+                sub = [bucket[i] for i in idxs]
+                inputs = {"motion_input": motion[sel],
+                          "audio_input": audio[sel]}
+                targets = [ex["target"] for ex in sub]
+                if all(t is not None for t in targets):
+                    inputs["target"] = np.stack(targets)
+                for metric in self.metrics:
+                    metric.update_state(
+                        inputs, full[sel][:, :motion_seq + true_n])
 
 
 def _decode(name) -> str:

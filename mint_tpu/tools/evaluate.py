@@ -37,6 +37,12 @@ flags.DEFINE_bool("use_bfloat16", False,
                   "Decode in bfloat16 (the reference evaluates in f32 "
                   "eager; measured FID impact on the E2E corpus is in "
                   "docs/E2E.md).")
+flags.DEFINE_integer("steps_bucket", 0,
+                     "Quantize generatable lengths up to multiples of "
+                     "this so nearby audio lengths share one compiled "
+                     "decoder (0 = off).  Saved clips are bit-identical "
+                     "at fixed decode batch: padded audio is never read "
+                     "by kept frames and overshoot is trimmed per clip.")
 # Unused flags kept for sweep compatibility (reference evaluator.py:36-41).
 flags.DEFINE_float("initial_learning_rate", 0.1, "UNUSED FLAG.")
 flags.DEFINE_float("weight_decay", None, "UNUSED FLAG.")
@@ -70,7 +76,8 @@ def evaluate():
             use_tpu=False)
 
     evaluator = Evaluator(model, dataset, metrics=metrics,
-                          output_dir=FLAGS.output_dir, steps=FLAGS.steps)
+                          output_dir=FLAGS.output_dir, steps=FLAGS.steps,
+                          steps_bucket=FLAGS.steps_bucket or None)
 
     params = init_params(model, jax.random.PRNGKey(0))
     state = TrainState(step=0, params=params, opt_state=None)

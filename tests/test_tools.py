@@ -138,6 +138,41 @@ class TestEvaluator:
         assert np.load(tmp_path / "motion0_audio0.npy").shape[0] == 19
         assert np.load(tmp_path / "long_audio0.npy").shape[0] == 29
 
+    def test_steps_bucket_quantization_is_exact(self, tiny_model, tmp_path):
+        """steps_bucket shares one compiled decoder across nearby audio
+        lengths by zero-padding the audio tail and trimming per clip —
+        every clip's saved output must be IDENTICAL to the unbucketed
+        run (kept frames never read padded audio rows)."""
+        model, params = tiny_model
+
+        def mixed():
+            # True generatable lengths 7, 12, 17 -> one n=20 bucket.
+            for j, alen in enumerate((30, 35, 40)):
+                for batch in self._dataset(n_clips=1, audio_len=alen):
+                    batch["motion_name"] = [f"clip{j}".encode()]
+                    yield batch
+
+        data = list(mixed())  # materialize ONCE: same inputs both runs
+        # decode_batch=1 in BOTH runs: batch composition changes fp
+        # summation order, which is not what this test is pinning.
+        exact_dir = tmp_path / "exact"
+        ev = Evaluator(model, data, output_dir=str(exact_dir),
+                       steps=1200, decode_batch=1)
+        ev.evaluate(params)
+
+        bucket_dir = tmp_path / "bucketed"
+        ev2 = Evaluator(model, data, output_dir=str(bucket_dir),
+                        steps=1200, steps_bucket=10, decode_batch=1)
+        ev2.evaluate(params)
+
+        files = sorted(os.listdir(exact_dir))
+        assert files == sorted(os.listdir(bucket_dir))
+        for f in files:
+            a = np.load(exact_dir / f)
+            b = np.load(bucket_dir / f)
+            assert a.shape == b.shape, f
+            np.testing.assert_array_equal(a, b, err_msg=f)
+
 
 class TestEulerMetric:
     def test_zero_for_identical(self):
