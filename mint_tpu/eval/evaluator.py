@@ -55,8 +55,11 @@ class Evaluator:
         AIST++ music lengths vary).  Exact: decode frame i only reads
         audio rows [i, i+window), which are fully real for i < the
         clip's true length; the extra frames (decoded over zero-padded
-        audio) are trimmed per clip before saving and metrics.  Same
-        scheme the serving path uses (serving/server.py).
+        audio) are trimmed per clip before saving, and metrics are
+        updated per true-length group on trimmed outputs (their
+        ``audio_input`` retains the zero-padded tail — irrelevant to the
+        reference metric, which reads only target/output).  Same scheme
+        the serving path uses (serving/server.py).
         """
         self.model = model
         self.dataset = dataset
