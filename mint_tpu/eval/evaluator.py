@@ -69,7 +69,8 @@ class Evaluator:
         self.decode_batch = decode_batch
         self.mesh = mesh
         self.dispatch_chunk = dispatch_chunk
-        self.steps_bucket = steps_bucket
+        self.steps_bucket = (int(steps_bucket)
+                             if steps_bucket and steps_bucket > 0 else None)
         self._cache: Optional[List[Dict]] = None
 
     def _examples(self) -> List[Dict]:
@@ -124,7 +125,8 @@ class Evaluator:
             if n > 0:
                 ex = dict(ex, true_steps=n)
                 key = (n if self.steps_bucket is None
-                       else -(-n // self.steps_bucket) * self.steps_bucket)
+                       else decoder.quantize_steps(n, self.steps_bucket,
+                                                   cap=self.steps))
                 buckets[key].append(ex)
             else:
                 skipped.append(_decode(ex["motion_name"]))
@@ -199,22 +201,21 @@ class Evaluator:
                         full[i][:motion_seq + ex.get("true_steps", n_steps)])
 
         if self.metrics:
-            # Metrics must never see frames decoded past a clip's true
-            # length: group by true length and update per group.
-            groups = collections.defaultdict(list)
+            # One update per CLIP: the reference evaluates with
+            # eval batch_size=1 (configs/...config:119), so its metric
+            # accumulation is per-clip — updating per clip both matches
+            # that protocol and makes the accumulated value independent
+            # of decode batching / bucket composition.  Overshoot frames
+            # (quantized buckets) are trimmed to the clip's true length.
             for i, ex in enumerate(bucket):
-                groups[ex.get("true_steps", n_steps)].append(i)
-            for true_n, idxs in sorted(groups.items()):
-                sel = np.asarray(idxs)
-                sub = [bucket[i] for i in idxs]
-                inputs = {"motion_input": motion[sel],
-                          "audio_input": audio[sel]}
-                targets = [ex["target"] for ex in sub]
-                if all(t is not None for t in targets):
-                    inputs["target"] = np.stack(targets)
+                true_n = ex.get("true_steps", n_steps)
+                inputs = {"motion_input": motion[i:i + 1],
+                          "audio_input": audio[i:i + 1]}
+                if ex.get("target") is not None:
+                    inputs["target"] = np.stack([ex["target"]])
                 for metric in self.metrics:
                     metric.update_state(
-                        inputs, full[sel][:, :motion_seq + true_n])
+                        inputs, full[i:i + 1, :motion_seq + true_n])
 
 
 def _decode(name) -> str:

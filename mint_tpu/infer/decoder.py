@@ -180,6 +180,16 @@ def max_steps(model: FACT, audio_len: int, requested: int = 1200) -> int:
     return max(0, min(requested, audio_len - model.audio_seq_length + 1))
 
 
+def quantize_steps(n: int, bucket: int, cap: int | None = None) -> int:
+    """Round a generatable length UP to a multiple of `bucket` so nearby
+    lengths share one compiled decode program (used by the evaluator's
+    ``steps_bucket`` and the serving batcher — keep them in lockstep).
+    `cap` bounds the overshoot (e.g. the eval CLI's --steps): without
+    it, every capped clip would decode up to bucket-1 wasted frames."""
+    q = -(-n // bucket) * bucket
+    return min(q, cap) if cap is not None else q
+
+
 def infer_auto_regressive_reference(model: FACT, params,
                                     inputs: Dict[str, jax.Array],
                                     steps: int = 1200) -> jax.Array:

@@ -167,7 +167,8 @@ class GenerationService:
                              f"frames < {self.model.audio_seq_length}")
                 req.event.set()
                 continue
-            quantized = -(-n // self.steps_bucket) * self.steps_bucket
+            # No cap: requests with different `steps` must share buckets.
+            quantized = decoder.quantize_steps(n, self.steps_bucket)
             buckets.setdefault(quantized, []).append(req)
 
         import jax.numpy as jnp

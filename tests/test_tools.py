@@ -146,7 +146,8 @@ class TestEvaluator:
         model, params = tiny_model
 
         def mixed():
-            # True generatable lengths 7, 12, 17 -> one n=20 bucket.
+            # True generatable lengths 7, 12, 17 -> buckets {10: [7],
+            # 20: [12, 17]} at steps_bucket=10.
             for j, alen in enumerate((30, 35, 40)):
                 for batch in self._dataset(n_clips=1, audio_len=alen):
                     batch["motion_name"] = [f"clip{j}".encode()]
@@ -172,6 +173,46 @@ class TestEvaluator:
             b = np.load(bucket_dir / f)
             assert a.shape == b.shape, f
             np.testing.assert_array_equal(a, b, err_msg=f)
+
+    def test_metrics_invariant_to_bucketing_and_batching(self, tiny_model):
+        """Metric updates are per CLIP (the reference's eval batch_size
+        is 1, configs/...config:119), so the accumulated value must not
+        depend on decode batching or steps_bucket composition."""
+
+        class LastFrameMean:
+            """Toy metric touching outputs only (FACT's get_metrics is
+            empty, so exercise the contract with a stand-in)."""
+            name = "last_frame_mean"
+
+            def __init__(self):
+                self.total = 0.0
+
+            def reset_states(self):
+                self.total = 0.0
+
+            def update_state(self, inputs, outputs):
+                self.total += float(np.mean(outputs[:, -1]))
+
+            def result(self):
+                return self.total
+
+        model, params = tiny_model
+        data = []
+        for j, alen in enumerate((30, 35, 40, 35)):
+            for batch in self._dataset(n_clips=1, audio_len=alen):
+                batch["motion_name"] = [f"c{j}".encode()]
+                data.append(batch)
+
+        results = []
+        for kwargs in ({"decode_batch": 1},
+                       {"decode_batch": 4},
+                       {"decode_batch": 4, "steps_bucket": 10}):
+            m = LastFrameMean()
+            Evaluator(model, data, metrics=[m], steps=1200,
+                      **kwargs).evaluate(params)
+            results.append(m.result())
+        assert results[0] == pytest.approx(results[1], rel=1e-5)
+        assert results[0] == pytest.approx(results[2], rel=1e-5)
 
 
 class TestEulerMetric:
