@@ -32,6 +32,8 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ROOT = os.path.abspath(sys.argv[1]) if len(sys.argv) > 1 else "/tmp/mint_e2e"
+# Optional extra train-CLI args (e.g. "--input_backend=device") as argv[2].
+EXTRA_TRAIN_ARGS = sys.argv[2].split() if len(sys.argv) > 2 else []
 RNG = np.random.default_rng(42)
 
 MUSICS = {  # name -> BPM by the AIST++ naming rule (frontend.py:34-43)
@@ -172,7 +174,7 @@ def main():
         f"--config_path={config}", f"--model_dir={ROOT}/model",
         f"--steps={TRAIN_STEPS}", f"--checkpoint_interval={CKPT_INTERVAL}",
         "--use_bfloat16", "--grad_clip_norm=1.0",
-    ]
+    ] + EXTRA_TRAIN_ARGS
     run_cli("train-killed", "train", train_args, kill_after=KILL_AFTER_S)
     ckpts = sorted(int(d) for d in os.listdir(f"{ROOT}/model")
                    if d.isdigit())
