@@ -24,11 +24,10 @@ import numpy as np
 
 # Persistent XLA compilation cache: the 1200-step decode scan is a large
 # program and its first compile dominates bench wall time; repeat runs on
-# the same host hit the cache.
-_CACHE_DIR = os.path.expanduser("~/.cache/jax_compilation")
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# the same host hit the cache (shared with every CLI entry point).
+from mint_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 REFERENCE_CPU_FRAMES_PER_SEC = 0.53  # measured, see module docstring
 
@@ -87,19 +86,28 @@ def main_with_retry(attempts: int = 3, backoff_s: float = 180.0):
     import subprocess
     import sys
 
+    # Only these child-failure signatures are worth a 180 s backoff; a
+    # deterministic failure (bad config, import error) surfaces at once.
+    transient = ("TPU worker process crashed", "FAILED_PRECONDITION",
+                 "UNAVAILABLE", "DEADLINE_EXCEEDED", "socket closed")
+
     env = dict(os.environ)
     env["MINT_BENCH_CHILD"] = "1"
     for attempt in range(attempts):
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, cwd=os.path.dirname(
-                                  os.path.abspath(__file__)))
+                                  os.path.abspath(__file__)),
+                              stderr=subprocess.PIPE)
+        stderr = proc.stderr.decode(errors="replace") if proc.stderr else ""
+        sys.stderr.write(stderr)  # keep the child's logs visible
         if proc.returncode == 0:
             return
-        if attempt == attempts - 1:
+        is_transient = any(sig in stderr for sig in transient)
+        if attempt == attempts - 1 or not is_transient:
             raise SystemExit(proc.returncode)
-        print(f"# bench attempt {attempt + 1} failed "
-              f"(rc={proc.returncode}); retrying in {backoff_s:.0f}s "
-              "in a fresh process", flush=True)
+        print(f"# bench attempt {attempt + 1} hit a transient TPU-worker "
+              f"failure (rc={proc.returncode}); retrying in "
+              f"{backoff_s:.0f}s in a fresh process", flush=True)
         time.sleep(backoff_s)
 
 

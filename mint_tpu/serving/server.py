@@ -65,6 +65,8 @@ class GenerationService:
         `unroll` is the decode-scan unroll factor: 8 maximizes warm
         throughput (+11%, docs/BENCHMARKS.md); drop to 1 when per-bucket
         cold-compile latency matters more than steady-state throughput."""
+        from mint_tpu.utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()  # warm restarts reuse bucket compiles
         self.model = model
         self.params = params
         self.batch_window = batch_window_ms / 1000.0

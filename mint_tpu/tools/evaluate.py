@@ -37,12 +37,13 @@ flags.DEFINE_bool("use_bfloat16", False,
                   "Decode in bfloat16 (the reference evaluates in f32 "
                   "eager; measured FID impact on the E2E corpus is in "
                   "docs/E2E.md).")
-flags.DEFINE_integer("steps_bucket", 0,
+flags.DEFINE_integer("steps_bucket", 128,
                      "Quantize generatable lengths up to multiples of "
                      "this so nearby audio lengths share one compiled "
-                     "decoder (0 = off).  Saved clips are bit-identical "
-                     "at fixed decode batch: padded audio is never read "
-                     "by kept frames and overshoot is trimmed per clip.")
+                     "decoder (0 = off; default matches the serving "
+                     "batcher).  Saved clips are bit-identical at fixed "
+                     "decode batch: padded audio is never read by kept "
+                     "frames and overshoot is trimmed per clip.")
 # Unused flags kept for sweep compatibility (reference evaluator.py:36-41).
 flags.DEFINE_float("initial_learning_rate", 0.1, "UNUSED FLAG.")
 flags.DEFINE_float("weight_decay", None, "UNUSED FLAG.")
@@ -61,6 +62,9 @@ class _EvalAdapter:
 
 def evaluate():
     import jax.numpy as jnp
+
+    from mint_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     pipeline = load_pipeline_config(FLAGS.config_path)
     model = builder.build(

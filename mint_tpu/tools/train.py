@@ -134,6 +134,8 @@ flags.DEFINE_integer("process_id", None,
 
 
 def train():
+    from mint_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if FLAGS.distributed:
         jax.distributed.initialize(
             coordinator_address=FLAGS.coordinator_address,
