@@ -54,7 +54,7 @@ class GenerationService:
     def __init__(self, model: FACT, params, batch_window_ms: float = 10.0,
                  max_batch: int = 32, default_steps: int = 1200,
                  steps_bucket: int = 128, unroll: int = 8,
-                 request_timeout: float = 900.0):
+                 request_timeout: float = 900.0, mesh=None):
         """`steps_bucket` quantizes generation lengths upward so XLA
         compiles one decoder per (batch-bucket, steps-bucket) instead of
         one per distinct client audio length; extra frames use zero
@@ -64,11 +64,19 @@ class GenerationService:
 
         `unroll` is the decode-scan unroll factor: 8 maximizes warm
         throughput (+11%, docs/BENCHMARKS.md); drop to 1 when per-bucket
-        cold-compile latency matters more than steady-state throughput."""
+        cold-compile latency matters more than steady-state throughput.
+
+        `mesh` (optional jax.sharding.Mesh) shards each decode batch over
+        the mesh's data axis — one server drives the whole chip pod the
+        way the Evaluator's sharded decode does.  Batches are padded to a
+        data-axis multiple and trimmed per request; same protocol math as
+        single-device serving (per-row computation is batch-independent;
+        sharding only changes XLA fusion order, tested at 2e-5)."""
         from mint_tpu.utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()  # warm restarts reuse bucket compiles
         self.model = model
         self.params = params
+        self.mesh = mesh
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
         self.default_steps = default_steps
@@ -185,6 +193,13 @@ class GenerationService:
                 audio_len = n_steps + self.model.audio_seq_length - 1
                 n_real = len(reqs)
                 batch = 1 << (n_real - 1).bit_length()  # next pow2
+                if self.mesh is not None:
+                    # Round the padded batch UP to a data-axis multiple
+                    # so rows shard evenly (pow2 alone breaks on e.g. a
+                    # 6-device data axis; same rule as the Evaluator).
+                    from mint_tpu.parallel import mesh as mesh_lib
+                    data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
+                    batch += (-batch) % data_size
                 seeds = [np.asarray(r.seed, np.float32)
                          if r.seed is not None
                          else np.zeros((motion_seq, self.motion_dim),
@@ -198,8 +213,14 @@ class GenerationService:
                         r.audio[:audio_len]
                     audio_rows.append(row)
                 audio_rows += [audio_rows[-1]] * (batch - n_real)
-                motion = jnp.asarray(np.stack(seeds))
-                audio = jnp.asarray(np.stack(audio_rows))
+                if self.mesh is not None:
+                    import jax
+                    sharding = mesh_lib.batch_sharding(self.mesh)
+                    motion = jax.device_put(np.stack(seeds), sharding)
+                    audio = jax.device_put(np.stack(audio_rows), sharding)
+                else:
+                    motion = jnp.asarray(np.stack(seeds))
+                    audio = jnp.asarray(np.stack(audio_rows))
                 out = np.asarray(decoder.infer_auto_regressive(
                     self.model, self.params,
                     {"motion_input": motion, "audio_input": audio},
@@ -320,6 +341,9 @@ def main(argv=None):
                        "Per-request generation timeout in seconds; must "
                        "cover the FIRST compile of each length bucket "
                        "(~400 s observed on a slow-compile host).")
+    flags.DEFINE_integer("data_parallelism", 0,
+                         "Shard decode batches over this many devices "
+                         "(0 = all visible devices; 1 = single-chip).")
 
     def run(_):
         from mint_tpu.config.schema import load_pipeline_config
@@ -334,9 +358,16 @@ def main(argv=None):
         if FLAGS.checkpoint_dir:
             raw = CheckpointManager(FLAGS.checkpoint_dir).restore_raw()
             params = raw["params"]
+        mesh = None
+        n_dev = FLAGS.data_parallelism or len(jax.devices())
+        if n_dev > 1:
+            from mint_tpu.parallel import mesh as mesh_lib
+            mesh = mesh_lib.make_mesh(data=n_dev, model=1,
+                                      devices=jax.devices()[:n_dev])
         service = GenerationService(model, params,
                                     default_steps=FLAGS.steps,
-                                    request_timeout=FLAGS.request_timeout)
+                                    request_timeout=FLAGS.request_timeout,
+                                    mesh=mesh)
         server = serve(service, FLAGS.host, FLAGS.port)
         print(f"serving on {FLAGS.host}:{FLAGS.port}")
         try:

@@ -22,8 +22,7 @@ CONFIG = os.path.join(REPO, "configs", "fact_v5_deeper_t10_cm12.config")
 RNG = np.random.default_rng(31)
 
 
-@pytest.fixture(scope="module")
-def service():
+def _tiny_model():
     cfg = copy.deepcopy(load_pipeline_config(CONFIG).multi_modal_model)
     fact = cfg.fact_model
     for mod in fact.modality:
@@ -42,6 +41,12 @@ def service():
     cm.intermediate_size = 64
     model = build(cfg, is_training=False)
     params = init_params(model, jax.random.PRNGKey(1))
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def service():
+    model, params = _tiny_model()
     svc = GenerationService(model, params, batch_window_ms=30,
                             default_steps=8)
     yield svc
@@ -222,3 +227,76 @@ class TestHTTP:
                                               audio))), method="POST")
             with urllib.request.urlopen(good, timeout=120) as r:
                 assert np.load(io.BytesIO(r.read())).shape == (4, 225)
+
+
+class TestMeshServing:
+    """Multi-chip serving: decode sharded over the mesh's data axis."""
+
+    def _generate_all(self, svc, audios, steps):
+        """Issue all requests concurrently so they ride one batch."""
+        results = [None] * len(audios)
+        errors = []
+
+        def call(i):
+            try:
+                results[i] = svc.generate(audios[i], steps=steps)
+            except Exception as e:  # surfaced below
+                errors.append(e)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(audios))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        return results
+
+    def test_sharded_decode_matches_single_device(self):
+        from mint_tpu.parallel import mesh as mesh_lib
+
+        model, params = _tiny_model()
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        svc_one = GenerationService(model, params, batch_window_ms=200,
+                                    default_steps=8)
+        svc_mesh = GenerationService(model, params, batch_window_ms=200,
+                                     default_steps=8, mesh=mesh)
+        try:
+            # 5 concurrent requests: both services pad the batch to 8
+            # (pow2 / data-axis multiple), so the compiled programs see
+            # the same padded shapes.  Sharding changes XLA's fusion
+            # order, so equality is tight-numeric, not bitwise; the
+            # sharded path itself must be bitwise-deterministic across
+            # repeat calls (asserted below).
+            audios = [RNG.standard_normal((40, 35)).astype(np.float32)
+                      for _ in range(5)]
+            got_one = self._generate_all(svc_one, audios, steps=10)
+            before = svc_mesh.stats_snapshot()["batches"]
+            got_mesh = self._generate_all(svc_mesh, audios, steps=10)
+            assert svc_mesh.stats_snapshot()["batches"] - before < 5
+            for a, b in zip(got_one, got_mesh):
+                assert a.shape == b.shape == (10, 225)
+                np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+            repeat = self._generate_all(svc_mesh, audios, steps=10)
+            for b, r in zip(got_mesh, repeat):
+                assert b.tobytes() == r.tobytes()
+        finally:
+            svc_one.close()
+            svc_mesh.close()
+
+    def test_mesh_pads_to_data_axis_multiple(self):
+        """A single request on a 6-wide data axis must still shard: the
+        pow2 pad (1) is rounded up to the axis multiple (6)."""
+        from mint_tpu.parallel import mesh as mesh_lib
+
+        model, params = _tiny_model()
+        mesh = mesh_lib.make_mesh(data=6, model=1,
+                                  devices=jax.devices()[:6])
+        svc = GenerationService(model, params, default_steps=8, mesh=mesh)
+        try:
+            audio = RNG.standard_normal((40, 35)).astype(np.float32)
+            out = svc.generate(audio, steps=10)
+            assert out.shape == (10, 225)
+            assert np.isfinite(out).all()
+        finally:
+            svc.close()
