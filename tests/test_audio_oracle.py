@@ -270,3 +270,266 @@ def test_pitch_tuning_matches_oracle():
     ours = cqt_lib.pitch_tuning(freqs)
     want = oracle_pitch_tuning(freqs)
     np.testing.assert_allclose(ours, want, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 oracles: the three stages VERDICT r2 flagged as unpinned —
+# end-to-end MFCC, CQT kernel construction + projection, and the resampler.
+# ---------------------------------------------------------------------------
+
+
+def oracle_dct2_ortho_rows(X, n_out):
+    """scipy.fftpack.dct(type=2, norm='ortho') per row, scalar transcription
+    (librosa.feature.mfcc applies it along the mel axis)."""
+    import math
+    n_frames, N = X.shape
+    out = np.zeros((n_frames, n_out))
+    for t in range(n_frames):
+        for k in range(n_out):
+            acc = 0.0
+            for n in range(N):
+                acc += X[t, n] * math.cos(
+                    math.pi * k * (2 * n + 1) / (2 * N))
+            f = math.sqrt(1.0 / (4 * N)) if k == 0 \
+                else math.sqrt(1.0 / (2 * N))
+            out[t, k] = 2.0 * f * acc
+    return out
+
+
+def test_mfcc_end_to_end_matches_oracle():
+    """The full MFCC chain (preprocessing.py:99): stft power -> mel ->
+    power_to_db -> DCT-II/ortho, composed f64 scalar oracle vs our f32
+    XLA chain."""
+    rng = np.random.default_rng(11)
+    t = np.arange(8192) / SR
+    y = (0.3 * rng.standard_normal(8192)
+         + 0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float64)
+    S = oracle_stft_power(y, 2048, HOP) @ oracle_mel_fb(SR, 2048).T
+    want = oracle_dct2_ortho_rows(oracle_power_to_db(S), 20)
+    import jax.numpy as jnp
+    got = np.asarray(spectral.mfcc(jnp.asarray(y, jnp.float32), SR,
+                                   n_mfcc=20))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-2)
+
+
+def _oracle_cqt_bin_frame(y, sr, k, frame, hop=HOP, fmin=cqt_lib.C1_HZ,
+                          bins_per_octave=36, n_bins=252):
+    """Scalar transcription of librosa filters.constant_q +
+    __cqt_filter_fft + __cqt_response for ONE (bin, frame) pair:
+    construct kernel k sample-by-sample (complex exponential over
+    arange(-flen//2, flen//2) float floor-division semantics, periodic
+    Hann, L1 norm, center-pad, length/n_fft scaling), FFT it, project the
+    positive-frequency half against the ones-window frame spectrum, and
+    apply the 1/sqrt(length) scale.  np.fft is used only as the DFT
+    backend (the implementation under test uses jnp.fft)."""
+    import math
+    q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    freqs = [fmin * 2.0 ** (b / bins_per_octave) for b in range(n_bins)]
+    max_len = q * sr / freqs[0]
+    n_fft = 1 << int(math.ceil(math.log2(max_len)))
+
+    f = freqs[k]
+    flen = q * sr / f
+    start = math.floor(-flen / 2)
+    stop = math.floor(flen / 2)
+    count = stop - start
+    kern = np.zeros(count, np.complex128)
+    for j in range(count):
+        n = start + j
+        w = 0.5 - 0.5 * math.cos(2.0 * math.pi * j / count)
+        kern[j] = w * complex(math.cos(2 * math.pi * f * n / sr),
+                              math.sin(2 * math.pi * f * n / sr))
+    l1 = 0.0
+    for v in kern:
+        l1 += abs(v)
+    kern /= l1
+    padded = np.zeros(n_fft, np.complex128)
+    off = (n_fft - count) // 2
+    padded[off:off + count] = kern * (flen / n_fft)
+    kern_fft = np.fft.fft(padded)[:n_fft // 2 + 1]
+
+    ypad = np.pad(np.asarray(y, np.float64), n_fft // 2, mode="reflect")
+    seg = ypad[frame * hop:frame * hop + n_fft]
+    spec = np.fft.rfft(seg)
+    return abs(np.sum(kern_fft * spec)) / math.sqrt(flen)
+
+
+def test_cqt_kernel_and_projection_matches_oracle():
+    """Pin the CQT core (preprocessing.py:100-102 feeds chroma_cens from
+    it): kernel construction + frequency-domain projection, spot-checked
+    at a spread of (bin, frame) pairs against the scalar oracle.  The
+    oracle projects the FULL spectrum, so this also bounds the
+    band-limited (energy_keep=0.9999) projection approximation."""
+    rng = np.random.default_rng(13)
+    t = np.arange(40960) / SR
+    y = (0.05 * rng.standard_normal(len(t))
+         + 0.4 * np.sin(2 * np.pi * 220.0 * t)
+         + 0.2 * np.sin(2 * np.pi * 660.0 * t)
+         + 0.1 * np.sin(2 * np.pi * 1760.0 * t)).astype(np.float64)
+    got = cqt_lib.cqt_magnitude(y, SR, tuning=0.0)
+    n_frames = got.shape[0]
+    ref_scale = float(got.max())
+    for k in (0, 35, 120, 215, 251):
+        for frame in (0, n_frames // 2, n_frames - 1):
+            want = _oracle_cqt_bin_frame(y, SR, k, frame)
+            assert abs(got[frame, k] - want) < 2e-3 * ref_scale + 2e-4, (
+                k, frame, got[frame, k], want)
+
+
+def test_cqt_recursive_vs_single_resolution_measured_bound():
+    """librosa's CQT computes lower octaves by successive 2x downsampling
+    and reuse of the top-octave kernels; ours is single-resolution exact
+    (docs/AUDIO_PARITY.md limit 2).  This MEASURES that divergence on a
+    music-like signal by transcribing the recursion (top-octave kernels,
+    halve the rate and hop per octave, our polyphase decimator) and
+    comparing: the delta IS the recursion's downsampling-chain error.
+    Kernel identity across rates is exact — a kernel for f at sr equals
+    the kernel for f/2 at sr/2 sample-for-sample (flen = q*sr/f is rate
+    invariant), which is why librosa can reuse the basis."""
+    from mint_tpu.audio import resample as rs
+
+    rng = np.random.default_rng(17)
+    sr, hop, bpo, n_oct = SR, HOP, 36, 7
+    t = np.arange(61440) / sr
+    y = 0.02 * rng.standard_normal(len(t))
+    for note_hz, amp in ((130.8, 0.4), (329.6, 0.3), (523.3, 0.25),
+                         (1046.5, 0.15), (2093.0, 0.1)):
+        for h in (1, 2, 3):
+            y += amp / h * np.sin(2 * np.pi * note_hz * h * t)
+    single = cqt_lib.cqt_magnitude(y, sr, tuning=0.0)
+
+    # Top-octave basis (C7..B7 at full rate), reused at every rate.
+    top_fmin = cqt_lib.C1_HZ * 2.0 ** (n_oct - 1)
+    fft_basis, lengths_top, n_fft = cqt_lib._cqt_kernels(sr, top_fmin,
+                                                         bpo, bpo)
+    fft_basis = fft_basis.astype(np.complex128)
+
+    q = 1.0 / (2.0 ** (1.0 / bpo) - 1.0)
+    freqs = cqt_lib.C1_HZ * 2.0 ** (np.arange(n_oct * bpo) / bpo)
+    lengths_full = q * sr / freqs
+
+    rec = np.zeros_like(single)
+    y_o, sr_o, hop_o = np.asarray(y, np.float64), sr, hop
+    n_frames = single.shape[0]
+    for d in range(n_oct):  # d downsamplings -> octave (n_oct-1-d)
+        ypad = np.pad(y_o, n_fft // 2, mode="reflect")
+        frames = min(n_frames, len(y_o) // hop_o + 1)
+        idx = (np.arange(frames)[:, None] * hop_o
+               + np.arange(n_fft)[None, :])
+        spec = np.fft.rfft(ypad[idx], n_fft, axis=-1)
+        # The local projection scales with the LOCAL kernel length
+        # (L_full / 2^d); compensate by 2^d so all octaves are on the
+        # full-rate scale before the common 1/sqrt(length) normalization
+        # (librosa splits this compensation between a sqrt(2) signal
+        # boost per downsample and a sqrt(sr/my_sr) basis rescale).
+        resp = np.abs(spec @ fft_basis.T) * (2.0 ** d)
+        rows = slice((n_oct - 1 - d) * bpo, (n_oct - d) * bpo)
+        rec[:frames, rows] = resp / np.sqrt(lengths_full[rows])[None, :]
+        if d < n_oct - 1:
+            y_o = np.asarray(rs.resample(y_o, sr_o, sr_o // 2),
+                             np.float64)
+            sr_o //= 2
+            hop_o //= 2
+    # Strong cells (the ones CENS's 4-level quantization can see).  Weak
+    # noise-floor cells diverge more — the recursion's anti-alias filters
+    # REMOVE the broadband noise that leaks into kernel sidelobes in the
+    # exact single-resolution form — but those sit below the CENS
+    # thresholds by construction.
+    strong = single > 0.1 * single.max()
+    rel = np.abs(rec[strong] - single[strong]) / single[strong]
+    med, p95 = float(np.median(rel)), float(np.percentile(rel, 95))
+    print(f"recursive-vs-single CQT, strong cells: median {med:.2%}, "
+          f"p95 {p95:.2%} over {int(strong.sum())} cells")
+    assert med < 0.01 and p95 < 0.10, (med, p95)
+
+    # End-to-end: the delta that actually reaches the 35-dim features.
+    def fold(C):
+        return C.reshape(C.shape[0], n_oct, 12, 3).sum(axis=(1, 3))
+
+    d_cens = np.abs(cqt_lib.cens_from_chroma(fold(single))
+                    - cqt_lib.cens_from_chroma(fold(rec)))
+    print(f"CENS end-to-end delta: median {np.median(d_cens):.5f}, "
+          f"max {d_cens.max():.5f} (quantization weight: 0.25)")
+    assert float(d_cens.max()) < 0.1, d_cens.max()
+
+
+def test_resample_polyphase_matches_scipy_with_identical_taps():
+    """Pin the polyphase APPLICATION (padding, phase alignment, output
+    offset) against scipy's independent C upfirdn via resample_poly with
+    our exact taps (scipy scales an explicit window by `up`, hence
+    taps/up).  Any residual vs librosa is then filter-DESIGN only
+    (resampy interpolates a precision-512 table of the same
+    kaiser-windowed sinc; we evaluate it exactly)."""
+    from fractions import Fraction
+
+    from scipy.signal import resample_poly
+
+    from mint_tpu.audio import resample as rs
+
+    rng = np.random.default_rng(19)
+    x = rng.standard_normal(48000)
+    for orig, tgt in ((48000, 30720), (44100, 30720), (22050, 30720),
+                      (30720, 48000)):
+        fr = Fraction(tgt, orig)
+        up, down = fr.numerator, fr.denominator
+        taps = rs._sinc_filter(up, down)
+        ours = np.asarray(rs.resample(x, orig, tgt), np.float64)
+        want = resample_poly(x, up, down, window=taps / up)
+        assert len(ours) == len(want) == int(np.ceil(len(x) * up / down))
+        np.testing.assert_allclose(ours, want, rtol=0, atol=5e-7)
+
+
+def test_resample_tone_fidelity_and_stopband():
+    """Ground-truth check of the whole resample path: an in-band tone
+    must survive 48k->30720 with unit gain and exact frequency; an
+    out-of-band tone (above the target Nyquist) must vanish into the
+    kaiser_best stopband (beta 14.77 ~ -140 dB design)."""
+    from mint_tpu.audio import resample as rs
+
+    n = 48000 * 2
+    t = np.arange(n) / 48000.0
+    tone = np.sin(2 * np.pi * 1000.0 * t)
+    out = np.asarray(rs.resample(tone, 48000, SR), np.float64)
+    # Amplitude via RMS over an interior window (skip filter edges).
+    seg = out[2000:-2000]
+    rms = np.sqrt((seg ** 2).mean())
+    assert abs(rms - 1.0 / np.sqrt(2)) < 1e-4, rms
+    # Frequency via FFT peak of the interior segment.
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    peak_hz = np.argmax(spec) * SR / len(seg)
+    assert abs(peak_hz - 1000.0) < SR / len(seg) * 1.5, peak_hz
+
+    alias = np.sin(2 * np.pi * 16000.0 * t)  # > 30720/2 Nyquist
+    out = np.asarray(rs.resample(alias, 48000, SR), np.float64)
+    rms = np.sqrt((out[2000:-2000] ** 2).mean())
+    assert 20 * np.log10(max(rms, 1e-30) / (1 / np.sqrt(2))) < -100.0, rms
+
+
+def test_resample_filter_design_properties():
+    """Analytic pins on the kaiser_best tap family itself: per-phase DC
+    gain (amplitude preservation) and stopband depth consistent with the
+    beta=14.77 Kaiser design."""
+    from numpy.fft import rfft
+
+    from mint_tpu.audio import resample as rs
+
+    up, down = 16, 25
+    taps = rs._sinc_filter(up, down)
+    # Sum over each polyphase branch = per-output-sample gain ~= 1.
+    half = (len(taps) - 1) // 2
+    for phase in range(up):
+        idx = np.arange(-half + ((half + phase) % up), len(taps) - half,
+                        up) + half
+        idx = idx[(idx >= 0) & (idx < len(taps))]
+        assert abs(taps[idx].sum() - 1.0) < 1e-3, phase
+    # Frequency response: stopband (beyond cutoff) at/below ~-130 dB.
+    n_fft = 1 << 18
+    H = np.abs(rfft(taps, n_fft))
+    H /= H.max()
+    cutoff = rs._ROLLOFF * min(1.0, up / down)
+    # Taps live on the up-sampled grid: normalized frequency (Nyquist=1)
+    # of the design cutoff is cutoff/up.
+    fn = np.arange(len(H)) / n_fft * 2.0
+    stop = H[fn > (cutoff / up) * 1.35]
+    assert 20 * np.log10(stop.max()) < -120.0, 20 * np.log10(stop.max())
