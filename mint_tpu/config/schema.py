@@ -448,61 +448,57 @@ def load_pipeline_config(path: str,
     """
     msg = textproto.parse_file(path)
     if config_override:
-        _merge_msg(msg, textproto.parse(config_override))
+        _merge_msg(msg, textproto.parse(config_override), PipelineConfig)
     return pipeline_from_msg(msg)
 
 
-def _repeated_field_names() -> frozenset:
-    """Field names that are repeated anywhere in the config schema.
+def _field_info(dc_type, key: str):
+    """(known, is_list, child_dataclass) for field `key` of `dc_type`.
 
-    Computed FROM the dataclasses (List-typed fields), so the merge
-    below has real cardinality information instead of guessing from
-    occurrence counts.  Names classify unambiguously: no field name is
-    repeated in one message and singular in another (asserted)."""
+    Cardinality comes from the dataclass SCHEMA AT THIS MESSAGE TYPE, so
+    a forward-compat key that happens to share a name with a List-typed
+    field of some other message is not misclassified as repeated."""
     import dataclasses as dc
     import sys
-    repeated, singular = set(), set()
-    module = sys.modules[__name__]
-    for name in dir(module):
-        obj = getattr(module, name)
-        if dc.is_dataclass(obj) and isinstance(obj, type):
-            for f in dc.fields(obj):
-                t = str(f.type)
-                is_list = t.startswith(("List[", "typing.List"))
-                (repeated if is_list else singular).add(f.name)
-    clash = repeated & singular
-    if clash:  # explicit raise: must survive python -O
-        raise RuntimeError(
-            f"ambiguous repeated/singular field names in schema: {clash}")
-    return frozenset(repeated)
+
+    if dc_type is None or not dc.is_dataclass(dc_type):
+        return False, False, None
+    for f in dc.fields(dc_type):
+        if f.name != key:
+            continue
+        t = str(f.type).replace("typing.", "")
+        is_list = t.startswith("List[")
+        inner = t[t.index("[") + 1:t.rindex("]")] if "[" in t else t
+        if inner.startswith("Optional["):
+            inner = inner[len("Optional["):-1]
+        child = getattr(sys.modules[__name__], inner, None)
+        child = child if dc.is_dataclass(child) else None
+        return True, is_list, child
+    return False, False, None
 
 
-_REPEATED_FIELDS: Optional[frozenset] = None
-
-
-def _merge_msg(base: Msg, override: Msg) -> None:
+def _merge_msg(base: Msg, override: Msg, dc_type=None) -> None:
     """Recursive merge with protobuf ``text_format.Merge`` semantics:
     singular message fields merge field-by-field, singular scalar fields
     are overwritten, repeated fields (message or scalar) are appended —
-    repeated-ness comes from the schema (``_repeated_field_names``), so
-    a single-occurrence repeated scalar (e.g. one ``pck_thresholds``
-    entry on each side) correctly appends instead of overwriting.
+    repeated-ness comes from the dataclass schema at the CURRENT message
+    type (``_field_info``), so a single-occurrence repeated scalar (e.g.
+    one ``pck_thresholds`` entry on each side) correctly appends instead
+    of overwriting.
     """
-    global _REPEATED_FIELDS
-    if _REPEATED_FIELDS is None:
-        _REPEATED_FIELDS = _repeated_field_names()
     for key, value in override.items():
         existing = base.get(key)
+        known, is_list, child_dc = _field_info(dc_type, key)
         # Schema says repeated, OR (for fields the dataclasses don't
         # model, e.g. forward-compat keys kept only in the Msg tree)
         # fall back to the occurrence-count heuristic — never collapse a
         # multi-occurrence field with replace().
-        repeated = (key in _REPEATED_FIELDS
+        repeated = ((is_list if known else False)
                     or len(base.get_all(key)) > 1
                     or len(override.get_all(key)) > 1)
         if isinstance(value, Msg) and isinstance(existing, Msg) \
                 and not repeated:
-            _merge_msg(existing, value)
+            _merge_msg(existing, value, child_dc)
         elif not isinstance(value, Msg):
             if repeated:
                 base.add(key, value)  # repeated scalar: Merge appends

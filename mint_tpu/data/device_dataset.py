@@ -79,6 +79,19 @@ class DeviceDataset:
         if self.n_sequences == 0:
             raise ValueError(
                 "no sequence is long enough for one training window")
+        # from_files() filters empty sequences; direct constructions must
+        # fail loudly too — a counts entry of 0 would make the sampler
+        # silently draw a window straddling the previous sequence
+        # (start = -1, dynamic_slice clamps).
+        counts = np.asarray(counts)
+        offsets = np.asarray(offsets)
+        if (counts < 1).any():
+            raise ValueError(
+                f"every counts entry must be >= 1; got min "
+                f"{int(counts.min())} (sequences too short for one window "
+                "must be filtered out, like from_files does)")
+        if (np.diff(offsets) < 0).any() or (offsets < 0).any():
+            raise ValueError("offsets must be non-negative and sorted")
         data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
         self.shard_over_data = bool(shard_over_data) and data_size > 1
         if not self.shard_over_data:

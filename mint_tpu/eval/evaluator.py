@@ -156,14 +156,18 @@ class Evaluator:
                    [[0, audio_len - a.shape[0]], [0, 0]])
             for ex in bucket])
         n_real = len(bucket)
-        # Pad a partial final batch up to decode_batch by repeating the
-        # last clip (trimmed below): every bucket then reuses ONE compiled
-        # decode program instead of compiling per leftover size — compile
-        # dominates one-shot eval wall time.  With a mesh, the padded
-        # total is then rounded UP to a data-axis multiple (padding to
-        # exactly decode_batch would break sharding whenever decode_batch
-        # itself is not divisible by the data axis, e.g. 64 on 6 devices).
-        target = self.decode_batch if n_real < self.decode_batch else n_real
+        # Pad a partial batch up to the next POWER OF TWO (capped at
+        # decode_batch), repeating the last clip (trimmed below): compiled
+        # decode programs are bounded to log2(decode_batch) batch sizes —
+        # compile dominates one-shot eval wall time — while a 1-clip
+        # length bucket no longer decodes decode_batch rows on every
+        # checkpoint pass of a continuous eval (the serving batcher uses
+        # the same pow2 rule).  With a mesh, the padded total is then
+        # rounded UP to a data-axis multiple (padding to a fixed
+        # decode_batch would break sharding whenever it is not divisible
+        # by the data axis, e.g. 64 on 6 devices).
+        target = min(1 << (n_real - 1).bit_length(),
+                     max(self.decode_batch, n_real))
         if self.mesh is not None:
             from mint_tpu.parallel import mesh as mesh_lib
             data_size = self.mesh.shape[mesh_lib.DATA_AXIS]

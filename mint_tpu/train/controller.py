@@ -98,6 +98,14 @@ class Controller:
         assert self.train_iter is not None or self.train_sampler is not None
         metrics: Dict[str, float] = {}
         timer = StepTimer()
+        # The previous loop's metrics stay as ASYNC device arrays until the
+        # next fused dispatch is in flight: float(v) blocks on the device,
+        # and materializing eagerly would serialize host work (summary
+        # write, logging) with the device, costing ~125 ms per loop
+        # boundary at steps_per_loop=10 (docs/BENCHMARKS.md).  Only the
+        # small metric scalars are kept — never `state`, whose buffers the
+        # donated train step consumes.
+        pending = None  # (step, loop, device step_metrics)
         while self.global_step < until_step:
             loop = min(self.steps_per_loop,
                        until_step - self.global_step)
@@ -122,14 +130,27 @@ class Controller:
                     self.state, step_metrics = self.trainer.train_step(
                         self.state, batch)
                     timer.step()
+            if pending is not None:
+                metrics = self._flush_loop_metrics(*pending, timer)
             step = self.global_step
-            metrics = {k: float(v) for k, v in step_metrics.items()}
-            metrics.update(timer.metrics())
-            if self.summary_interval and step % self.summary_interval < loop:
-                self.metrics_writer.write(step, metrics)
+            pending = (step, loop, step_metrics)
             if self.checkpoint_manager is not None:
+                # The save decision depends only on `step`; on its interval
+                # it materializes this loop's state (synchronous, rare).
                 self.checkpoint_manager.save(step, self.state)
-            log.info("step %d: %s", step, metrics)
+        if pending is not None:
+            metrics = self._flush_loop_metrics(*pending, timer)
+        return metrics
+
+    def _flush_loop_metrics(self, step: int, loop: int, step_metrics,
+                            timer) -> Dict[str, float]:
+        """Materialize one loop's device metrics (blocking) and write/log
+        them — called AFTER the next loop has been dispatched."""
+        metrics = {k: float(v) for k, v in step_metrics.items()}
+        metrics.update(timer.metrics())
+        if self.summary_interval and step % self.summary_interval < loop:
+            self.metrics_writer.write(step, metrics)
+        log.info("step %d: %s", step, metrics)
         return metrics
 
     def evaluate(self) -> Dict[str, float]:

@@ -146,25 +146,36 @@ def test_config_override_merges_recursively():
 
 def test_override_repeated_scalar_appends():
     """text_format.Merge APPENDS repeated scalar occurrences; singular
-    scalars are overwritten.  Repeated-ness comes from the SCHEMA (List
-    fields), not from occurrence counting — the single-occurrence-each
+    scalars are overwritten.  Repeated-ness comes from the dataclass
+    schema AT THE CURRENT MESSAGE TYPE (not from occurrence counting,
+    and not from a global name set that could collide with a same-named
+    List field of an unrelated message) — the single-occurrence-each
     case must still append."""
-    from mint_tpu.config.schema import _merge_msg
+    from mint_tpu.config.schema import (ManualStepLearningRate,
+                                        MotionGenerationMetrics,
+                                        _merge_msg)
 
     base = textproto.parse(
-        "pck_thresholds: 0.1 pck_thresholds: 0.2 batch_size: 1")
-    over = textproto.parse("pck_thresholds: 0.3 batch_size: 2")
-    _merge_msg(base, over)
+        "pck_thresholds: 0.1 pck_thresholds: 0.2 num_joints: 1")
+    over = textproto.parse("pck_thresholds: 0.3 num_joints: 2")
+    _merge_msg(base, over, MotionGenerationMetrics)
     assert base.get_all("pck_thresholds") == [0.1, 0.2, 0.3]
-    assert base.get_all("batch_size") == [2]
+    assert base.get_all("num_joints") == [2]
     # ONE occurrence on each side of a schema-repeated field: append,
     # not overwrite (the old occurrence-count heuristic got this wrong).
     base2 = textproto.parse("pck_thresholds: 0.05")
-    _merge_msg(base2, textproto.parse("pck_thresholds: 0.1"))
+    _merge_msg(base2, textproto.parse("pck_thresholds: 0.1"),
+               MotionGenerationMetrics)
     assert base2.get_all("pck_thresholds") == [0.05, 0.1]
+    # A key named like a List field of an UNRELATED message is singular
+    # here: last-one-wins, not append (the old global name set appended).
+    base2b = textproto.parse("pck_thresholds: 0.05")
+    _merge_msg(base2b, textproto.parse("pck_thresholds: 0.1"))  # untyped
+    assert base2b.get_all("pck_thresholds") == [0.1]
     # Repeated MESSAGE fields append as well (e.g. LR schedule entries).
     base3 = textproto.parse("schedule { step: 1 } ")
-    _merge_msg(base3, textproto.parse("schedule { step: 2 }"))
+    _merge_msg(base3, textproto.parse("schedule { step: 2 }"),
+               ManualStepLearningRate)
     assert [m.get("step") for m in base3.get_all("schedule")] == [1, 2]
     # Fields UNKNOWN to the schema (forward-compat keys that only live in
     # the Msg tree) fall back to the occurrence-count heuristic: a field
