@@ -44,6 +44,13 @@ def main():
     model = FACT(pipe.multi_modal_model.fact_model,
                  compute_dtype=jnp.bfloat16)
     params = init_params(model, jax.random.PRNGKey(0))
+    # NOT LN-affine-folded: the fold (mint_tpu/models/fold.py) is exact
+    # but measured 5% SLOWER at this protocol (1495-1498 vs 1579 f/s,
+    # interleaved A/B — docs/BENCHMARKS.md round-3).  MINT_TPU_BENCH_FOLD=1
+    # re-runs the folded variant for future hardware A/Bs.
+    if os.environ.get("MINT_TPU_BENCH_FOLD"):
+        from mint_tpu.models.fold import fold_for_decode
+        model, params = fold_for_decode(model, params)
 
     rng = np.random.default_rng(0)
     inputs = {

@@ -33,7 +33,8 @@ class Evaluator:
                  metrics: Sequence = (), output_dir: Optional[str] = None,
                  steps: int = 1200, decode_batch: int = 64, mesh=None,
                  dispatch_chunk: Optional[int] = 200,
-                 steps_bucket: Optional[int] = None):
+                 steps_bucket: Optional[int] = None,
+                 fold_ln: bool = False):
         """`dataset` is an iterable of batches, or a zero-arg callable
         returning one (for continuous eval, which runs a pass per
         checkpoint — reference re-iterates its tf.data.Dataset).  A plain
@@ -60,6 +61,13 @@ class Evaluator:
         ``audio_input`` retains the zero-padded tail — irrelevant to the
         reference metric, which reads only target/output).  Same scheme
         the serving path uses (serving/server.py).
+
+        `fold_ln` folds the pre-LN affines into the adjacent kernels per
+        restored checkpoint (mint_tpu/models/fold.py).  Default False:
+        the fold is exact, but on TPU v5e the folded program measured 5%
+        SLOWER end-to-end (the new QKV bias/schedule outweighs the
+        removed affine — docs/BENCHMARKS.md, round-3 ablations); the
+        knob exists for hardware where the trade flips.
         """
         self.model = model
         self.dataset = dataset
@@ -71,6 +79,8 @@ class Evaluator:
         self.dispatch_chunk = dispatch_chunk
         self.steps_bucket = (int(steps_bucket)
                              if steps_bucket and steps_bucket > 0 else None)
+        self.fold_ln = bool(fold_ln)
+        self._decode_model = model  # replaced per-evaluate when folding
         self._cache: Optional[List[Dict]] = None
 
     def _examples(self) -> List[Dict]:
@@ -109,6 +119,11 @@ class Evaluator:
 
     def evaluate(self, params) -> Dict[str, float]:
         """One full eval pass; returns the metric dict."""
+        if self.fold_ln:
+            from mint_tpu.models.fold import fold_for_decode
+            self._decode_model, params = fold_for_decode(self.model, params)
+        else:
+            self._decode_model = self.model
         for metric in self.metrics:
             metric.reset_states()
         if self.output_dir is not None:
@@ -185,7 +200,7 @@ class Evaluator:
         else:
             motion, audio = jnp.asarray(motion), jnp.asarray(audio)
         out = decoder.infer_auto_regressive(
-            self.model, params,
+            self._decode_model, params,
             {"motion_input": motion, "audio_input": audio}, steps=n_steps,
             dispatch_chunk=self.dispatch_chunk)
         # Prepend the seed (single_task_evaluator.py:71); drop pad clips.

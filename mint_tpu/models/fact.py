@@ -28,10 +28,17 @@ from mint_tpu.models import layers
 
 
 class FACT(nn.Module):
-    """FACT model; construct with a :class:`FACTModelConfig`."""
+    """FACT model; construct with a :class:`FACTModelConfig`.
+
+    ``ln_affine_folded=True`` builds the inference variant whose pre-LN
+    scale/bias live inside the adjacent QKV/fc1 kernels; pair it with
+    params transformed by :func:`mint_tpu.models.fold.fold_ln_affines`
+    (or use :func:`mint_tpu.models.fold.fold_for_decode`).
+    """
 
     config: FACTModelConfig
     compute_dtype: jnp.dtype = jnp.float32
+    ln_affine_folded: bool = False
 
     def setup(self):
         from mint_tpu.models.modalities import build_modalities_model
@@ -55,7 +62,8 @@ class FACT(nn.Module):
                 "cross_modal_concat_dim %s is not supported."
                 % cm.cross_modal_concat_dim)
 
-        kw = dict(compute_dtype=self.compute_dtype)
+        kw = dict(compute_dtype=self.compute_dtype,
+                  ln_affine_folded=self.ln_affine_folded)
         self.motion_linear_embedding = layers.LinearEmbedding(
             motion_tf.hidden_size, compute_dtype=self.compute_dtype)
         self.motion_pos_embedding = layers.PositionEmbedding(

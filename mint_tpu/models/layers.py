@@ -59,11 +59,17 @@ class Dense(nn.Dense):
 
 
 class Attention(nn.Module):
-    """Unmasked multi-head self-attention (base_models.py:60-88)."""
+    """Unmasked multi-head self-attention (base_models.py:60-88).
+
+    ``qkv_bias`` is off on the reference-parity path; the LN-affine fold
+    (mint_tpu/models/fold.py) turns it on to carry the folded pre-LN bias
+    term ``beta @ W_qkv``.
+    """
 
     dim: int
     heads: int = 8
     compute_dtype: jnp.dtype = jnp.float32
+    qkv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, n_queries: int | None = None
@@ -76,7 +82,7 @@ class Attention(nn.Module):
         """
         b, n, _ = x.shape
         scale = self.dim ** -0.5  # full model dim, reference parity
-        qkv = Dense(self.dim * 3, use_bias=False, name="to_qkv",
+        qkv = Dense(self.dim * 3, use_bias=self.qkv_bias, name="to_qkv",
                     dtype=self.compute_dtype)(x)
         # [b, n, 3*h*d] -> 3 x [b, h, n, d]
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim // self.heads)
@@ -111,12 +117,21 @@ class MLP(nn.Module):
 
 
 class Block(nn.Module):
-    """One pre-LN transformer block: Residual(Norm(Attn)) + Residual(Norm(MLP))."""
+    """One pre-LN transformer block: Residual(Norm(Attn)) + Residual(Norm(MLP)).
+
+    With ``ln_affine_folded=True`` the two LayerNorms carry no scale/bias
+    — the affine is instead pre-multiplied into the adjacent QKV / fc1
+    kernels by :func:`mint_tpu.models.fold.fold_ln_affines` (exact: the
+    LN output feeds exactly one matmul).  Opt-in only — on TPU v5e the
+    folded program measured ~5% SLOWER end-to-end (docs/BENCHMARKS.md,
+    round-3 ablations).
+    """
 
     hidden_size: int
     num_heads: int
     intermediate_size: int
     compute_dtype: jnp.dtype = jnp.float32
+    ln_affine_folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, n_out: int | None = None) -> jax.Array:
@@ -124,13 +139,17 @@ class Block(nn.Module):
         (the attention keys/values still span all of x) — exact for those
         rows; everything downstream of the attention is row-local.
         """
+        affine = not self.ln_affine_folded
         h = nn.LayerNorm(epsilon=1e-5, name="norm_attn",
+                         use_scale=affine, use_bias=affine,
                          dtype=self.compute_dtype)(x)
         att = Attention(self.hidden_size, self.num_heads,
                         compute_dtype=self.compute_dtype,
+                        qkv_bias=self.ln_affine_folded,
                         name="attn")(h, n_queries=n_out)
         x = (x if n_out is None else x[:, :n_out, :]) + att
         h = nn.LayerNorm(epsilon=1e-5, name="norm_mlp",
+                         use_scale=affine, use_bias=affine,
                          dtype=self.compute_dtype)(x)
         x = x + MLP(self.hidden_size, self.intermediate_size,
                     compute_dtype=self.compute_dtype, name="mlp")(h)
@@ -146,6 +165,7 @@ class Transformer(nn.Module):
     intermediate_size: int = 3072
     initializer_range: float = 0.02
     compute_dtype: jnp.dtype = jnp.float32
+    ln_affine_folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, last_n_out: int | None = None
@@ -159,6 +179,7 @@ class Transformer(nn.Module):
             x = Block(self.hidden_size, self.num_attention_heads,
                       self.intermediate_size,
                       compute_dtype=self.compute_dtype,
+                      ln_affine_folded=self.ln_affine_folded,
                       name=f"block_{i}")(x, n_out=last_n_out if last
                                          else None)
         return x
@@ -226,6 +247,7 @@ class CrossModalLayer(nn.Module):
     out_dim: int
     output_initializer_range: float = 0.02
     compute_dtype: jnp.dtype = jnp.float32
+    ln_affine_folded: bool = False
 
     @nn.compact
     def __call__(self, modal_a: jax.Array, modal_b: jax.Array,
@@ -248,6 +270,7 @@ class CrossModalLayer(nn.Module):
             num_attention_heads=self.num_attention_heads,
             intermediate_size=self.intermediate_size,
             compute_dtype=self.compute_dtype,
+            ln_affine_folded=self.ln_affine_folded,
             name="transformer")(merged, last_n_out=first_n_out)
         logits = nn.Dense(
             self.out_dim,

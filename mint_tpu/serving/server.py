@@ -74,6 +74,10 @@ class GenerationService:
         sharding only changes XLA fusion order, tested at 2e-5)."""
         from mint_tpu.utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()  # warm restarts reuse bucket compiles
+        # NOT LN-affine-folded: the fold (mint_tpu/models/fold.py) is
+        # exact but measured 5% SLOWER end-to-end on TPU v5e — the folded
+        # program's new QKV bias/schedule costs more than the affine it
+        # removes (docs/BENCHMARKS.md, round-3 ablations).
         self.model = model
         self.params = params
         self.mesh = mesh
