@@ -127,11 +127,38 @@ class GenerationService:
                        steps or self.default_steps)
         self._bump("requests")
         self._q.put(req)
-        if not req.event.wait(timeout):
+        # Event.wait(inf) overflows in CPython; None blocks indefinitely.
+        wait_s = None if timeout == float("inf") else timeout
+        if not req.event.wait(wait_s):
             raise TimeoutError("generation timed out")
         if req.error:
             raise ValueError(req.error)
         return req.result
+
+    def warmup(self, steps: Optional[int] = None) -> float:
+        """Run one throwaway batch-1 generation through the worker so the
+        ONE-TIME first-dispatch costs — staging params to the device,
+        loading (or compiling) the bucket's decode program on the
+        accelerator — are paid at boot instead of by the first client.
+
+        Measured on the tunneled TPU: with a warm persistent compile
+        cache the decode program deserializes in ~2 s, yet the first
+        dispatch still takes 2–8 min (program/param staging through the
+        host link); after `warmup` the first client request is the
+        steady-state 0.6 s (docs/BENCHMARKS.md, online serving).  Warms
+        the `steps` bucket (default `default_steps`); call once per
+        bucket you want hot.  Returns the wall seconds spent.
+        """
+        t0 = time.time()
+        n = steps or self.default_steps
+        audio_len = n + self.model.audio_seq_length - 1
+        audio_dim = (self.model.config.modality_by_name("audio")
+                     .feature_dim or 35)
+        audio = np.zeros((audio_len, audio_dim), np.float32)
+        # No timeout cap: boot-time budget is the owner's problem, and
+        # a first compile on a cold cache can exceed request_timeout.
+        self.generate(audio, steps=n, timeout=float("inf"))
+        return time.time() - t0
 
     def close(self):
         self._stop.set()
@@ -348,6 +375,11 @@ def main(argv=None):
     flags.DEFINE_integer("data_parallelism", 0,
                          "Shard decode batches over this many devices "
                          "(0 = all visible devices; 1 = single-chip).")
+    flags.DEFINE_boolean("warmup", True,
+                         "Run one throwaway generation at boot so the "
+                         "first client request doesn't pay the one-time "
+                         "param-staging / program-load / compile cost "
+                         "(minutes on cold caches or tunneled hosts).")
 
     def run(_):
         from mint_tpu.config.schema import load_pipeline_config
@@ -372,6 +404,10 @@ def main(argv=None):
                                     default_steps=FLAGS.steps,
                                     request_timeout=FLAGS.request_timeout,
                                     mesh=mesh)
+        if FLAGS.warmup:
+            print("warming up the default steps bucket...", flush=True)
+            dt = service.warmup()
+            print(f"warmup done in {dt:.1f} s", flush=True)
         server = serve(service, FLAGS.host, FLAGS.port)
         print(f"serving on {FLAGS.host}:{FLAGS.port}")
         try:

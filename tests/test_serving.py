@@ -60,6 +60,19 @@ def _npy(arr):
 
 
 class TestService:
+    def test_warmup_primes_default_bucket(self, service):
+        """warmup() runs a real batch through the worker (program +
+        params staged) and doesn't disturb subsequent requests."""
+        before = service.stats_snapshot()
+        dt = service.warmup(steps=8)
+        after = service.stats_snapshot()
+        assert dt > 0
+        assert after["batches"] == before["batches"] + 1
+        assert after["generated_frames"] >= before["generated_frames"] + 8
+        out = service.generate(
+            RNG.standard_normal((40, 35)).astype(np.float32), steps=8)
+        assert out.shape == (8, 225) and np.isfinite(out).all()
+
     def test_single_request(self, service):
         audio = RNG.standard_normal((40, 35)).astype(np.float32)
         out = service.generate(audio, steps=10)
