@@ -95,21 +95,38 @@ def main_with_retry(attempts: int = 3, backoff_s: float = 180.0):
 
     # Only these child-failure signatures are worth a 180 s backoff; a
     # deterministic failure (bad config, import error) surfaces at once.
-    transient = ("TPU worker process crashed", "FAILED_PRECONDITION",
-                 "UNAVAILABLE", "DEADLINE_EXCEEDED", "socket closed")
+    # Matched case-insensitively — PJRT surfaces the same condition as
+    # e.g. 'FAILED_PRECONDITION' or 'Failed precondition' depending on
+    # which layer formats it.
+    transient = ("tpu worker process crashed", "failed_precondition",
+                 "failed precondition", "unavailable", "deadline_exceeded",
+                 "deadline exceeded", "socket closed")
 
     env = dict(os.environ)
     env["MINT_BENCH_CHILD"] = "1"
     for attempt in range(attempts):
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, cwd=os.path.dirname(
-                                  os.path.abspath(__file__)),
-                              stderr=subprocess.PIPE)
-        stderr = proc.stderr.decode(errors="replace") if proc.stderr else ""
-        sys.stderr.write(stderr)  # keep the child's logs visible
+        # Stream the child's stderr live (a 30 s compile+run with a silent
+        # parent looks hung) while capturing it for signature matching.
+        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                env=env, cwd=os.path.dirname(
+                                    os.path.abspath(__file__)),
+                                stderr=subprocess.PIPE)
+        chunks = []
+        assert proc.stderr is not None
+        for raw in proc.stderr:
+            line = raw.decode(errors="replace")
+            chunks.append(line)
+            sys.stderr.write(line)
+            sys.stderr.flush()
+        proc.wait()
+        stderr = "".join(chunks)
         if proc.returncode == 0:
             return
-        is_transient = any(sig in stderr for sig in transient)
+        # rc < 0 = killed by a signal: the tunnel runtime SIGKILLs the
+        # child when the remote worker drops — no signature reaches
+        # stderr, but the failure is exactly the transient kind.
+        is_transient = (proc.returncode < 0 or any(
+            sig in stderr.lower() for sig in transient))
         if attempt == attempts - 1 or not is_transient:
             raise SystemExit(proc.returncode)
         print(f"# bench attempt {attempt + 1} hit a transient TPU-worker "

@@ -477,23 +477,47 @@ def _field_info(dc_type, key: str):
     return False, False, None
 
 
+_GLOBAL_REPEATED_NAMES: Optional[set] = None
+
+
+def _global_repeated_names() -> set:
+    """Names of List-typed fields across ALL dataclasses in this module —
+    the fallback classifier for keys reached through a chain the
+    dataclass schema doesn't model (e.g. the proto's ``eval_metric``
+    wrapper, which the dataclasses flatten into ``EvalConfig``).  Name
+    collisions across messages are possible here, which is exactly why
+    the per-type walk is tried first."""
+    global _GLOBAL_REPEATED_NAMES
+    if _GLOBAL_REPEATED_NAMES is None:
+        import dataclasses as dc
+        import sys
+
+        names = set()
+        for obj in vars(sys.modules[__name__]).values():
+            if dc.is_dataclass(obj) and isinstance(obj, type):
+                for f in dc.fields(obj):
+                    if str(f.type).replace("typing.", "").startswith(
+                            "List["):
+                        names.add(f.name)
+        _GLOBAL_REPEATED_NAMES = names
+    return _GLOBAL_REPEATED_NAMES
+
+
 def _merge_msg(base: Msg, override: Msg, dc_type=None) -> None:
     """Recursive merge with protobuf ``text_format.Merge`` semantics:
     singular message fields merge field-by-field, singular scalar fields
     are overwritten, repeated fields (message or scalar) are appended —
     repeated-ness comes from the dataclass schema at the CURRENT message
-    type (``_field_info``), so a single-occurrence repeated scalar (e.g.
-    one ``pck_thresholds`` entry on each side) correctly appends instead
-    of overwriting.
+    type (``_field_info``); for keys the current type doesn't model
+    (wrapper messages the dataclasses flatten, forward-compat keys) the
+    classifier falls back to the module-global List-typed-name set, then
+    to the occurrence-count heuristic.
     """
     for key, value in override.items():
         existing = base.get(key)
         known, is_list, child_dc = _field_info(dc_type, key)
-        # Schema says repeated, OR (for fields the dataclasses don't
-        # model, e.g. forward-compat keys kept only in the Msg tree)
-        # fall back to the occurrence-count heuristic — never collapse a
-        # multi-occurrence field with replace().
-        repeated = ((is_list if known else False)
+        repeated = ((is_list if known
+                     else key in _global_repeated_names())
                     or len(base.get_all(key)) > 1
                     or len(override.get_all(key)) > 1)
         if isinstance(value, Msg) and isinstance(existing, Msg) \

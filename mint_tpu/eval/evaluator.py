@@ -176,17 +176,13 @@ class Evaluator:
         # decode programs are bounded to log2(decode_batch) batch sizes —
         # compile dominates one-shot eval wall time — while a 1-clip
         # length bucket no longer decodes decode_batch rows on every
-        # checkpoint pass of a continuous eval (the serving batcher uses
-        # the same pow2 rule).  With a mesh, the padded total is then
-        # rounded UP to a data-axis multiple (padding to a fixed
-        # decode_batch would break sharding whenever it is not divisible
-        # by the data axis, e.g. 64 on 6 devices).
-        target = min(1 << (n_real - 1).bit_length(),
-                     max(self.decode_batch, n_real))
-        if self.mesh is not None:
-            from mint_tpu.parallel import mesh as mesh_lib
-            data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
-            target += (-target) % data_size
+        # checkpoint pass of a continuous eval.  With a mesh, the padded
+        # total is then rounded UP to a data-axis multiple (padding to a
+        # fixed decode_batch would break sharding whenever it is not
+        # divisible by the data axis, e.g. 64 on 6 devices).  The rule is
+        # shared with the serving batcher (decoder.padded_batch_size).
+        target = decoder.padded_batch_size(
+            n_real, mesh=self.mesh, cap=self.decode_batch)
         pad = target - n_real
         if pad:
             motion = np.concatenate(

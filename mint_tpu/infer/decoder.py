@@ -190,6 +190,24 @@ def quantize_steps(n: int, bucket: int, cap: int | None = None) -> int:
     return min(q, cap) if cap is not None else q
 
 
+def padded_batch_size(n_real: int, mesh=None, cap: int | None = None) -> int:
+    """The shared batch-padding rule for decode entry points (evaluator
+    bucket runs and the serving batcher — keep them in lockstep): pad a
+    partial batch UP to the next power of two so compiled decode programs
+    are bounded to log2 batch sizes, optionally capped at `cap` (but never
+    below ``n_real``), then — when sharding over a mesh — round UP to a
+    data-axis multiple so rows shard evenly (pow2 alone breaks on e.g. a
+    6-device data axis)."""
+    target = 1 << (n_real - 1).bit_length()
+    if cap is not None:
+        target = min(target, max(cap, n_real))
+    if mesh is not None:
+        from mint_tpu.parallel import mesh as mesh_lib
+        data_size = mesh.shape[mesh_lib.DATA_AXIS]
+        target += (-target) % data_size
+    return target
+
+
 def infer_auto_regressive_reference(model: FACT, params,
                                     inputs: Dict[str, jax.Array],
                                     steps: int = 1200) -> jax.Array:

@@ -223,14 +223,9 @@ class GenerationService:
                 # are trimmed per request.
                 audio_len = n_steps + self.model.audio_seq_length - 1
                 n_real = len(reqs)
-                batch = 1 << (n_real - 1).bit_length()  # next pow2
-                if self.mesh is not None:
-                    # Round the padded batch UP to a data-axis multiple
-                    # so rows shard evenly (pow2 alone breaks on e.g. a
-                    # 6-device data axis; same rule as the Evaluator).
-                    from mint_tpu.parallel import mesh as mesh_lib
-                    data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
-                    batch += (-batch) % data_size
+                # Next pow2, then (with a mesh) a data-axis multiple —
+                # the rule shared with the Evaluator.
+                batch = decoder.padded_batch_size(n_real, mesh=self.mesh)
                 seeds = [np.asarray(r.seed, np.float32)
                          if r.seed is not None
                          else np.zeros((motion_seq, self.motion_dim),
@@ -246,6 +241,7 @@ class GenerationService:
                 audio_rows += [audio_rows[-1]] * (batch - n_real)
                 if self.mesh is not None:
                     import jax
+                    from mint_tpu.parallel import mesh as mesh_lib
                     sharding = mesh_lib.batch_sharding(self.mesh)
                     motion = jax.device_put(np.stack(seeds), sharding)
                     audio = jax.device_put(np.stack(audio_rows), sharding)

@@ -105,7 +105,28 @@ class Controller:
         # boundary at steps_per_loop=10 (docs/BENCHMARKS.md).  Only the
         # small metric scalars are kept — never `state`, whose buffers the
         # donated train step consumes.
-        pending = None  # (step, loop, device step_metrics)
+        try:
+            metrics = self._train_loops(until_step, timer)
+        except BaseException:
+            # The previous loop COMPLETED (its device arrays are done);
+            # an exception in the next loop — TPU worker drop, exhausted
+            # iterator, KeyboardInterrupt — must not lose its summary:
+            # after a resume the passed interval is never rewritten.
+            pending, self._pending = self._pending, None
+            if pending is not None:
+                try:
+                    self._flush_loop_metrics(*pending, timer)
+                except Exception:
+                    pass  # flushing needs the device; keep the original
+            raise
+        pending, self._pending = self._pending, None
+        if pending is not None:
+            metrics = self._flush_loop_metrics(*pending, timer)
+        return metrics
+
+    def _train_loops(self, until_step: int, timer) -> Dict[str, float]:
+        metrics: Dict[str, float] = {}
+        self._pending = None  # (step, loop, device step_metrics)
         while self.global_step < until_step:
             loop = min(self.steps_per_loop,
                        until_step - self.global_step)
@@ -130,16 +151,14 @@ class Controller:
                     self.state, step_metrics = self.trainer.train_step(
                         self.state, batch)
                     timer.step()
-            if pending is not None:
-                metrics = self._flush_loop_metrics(*pending, timer)
+            if self._pending is not None:
+                metrics = self._flush_loop_metrics(*self._pending, timer)
             step = self.global_step
-            pending = (step, loop, step_metrics)
+            self._pending = (step, loop, step_metrics)
             if self.checkpoint_manager is not None:
                 # The save decision depends only on `step`; on its interval
                 # it materializes this loop's state (synchronous, rare).
                 self.checkpoint_manager.save(step, self.state)
-        if pending is not None:
-            metrics = self._flush_loop_metrics(*pending, timer)
         return metrics
 
     def _flush_loop_metrics(self, step: int, loop: int, step_metrics,

@@ -95,9 +95,8 @@ def _patch(variant):
 
 def child(variant):
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_compilation"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from mint_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 

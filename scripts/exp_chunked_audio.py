@@ -4,9 +4,8 @@ batched call, leaving only motion encoder + cross inside the AR scan."""
 import os, sys, time, functools
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_compilation"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mint_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 
 from mint_tpu.config.schema import load_pipeline_config
 from mint_tpu.models.fact import FACT, init_params

@@ -17,9 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import os
-_CACHE_DIR = os.path.expanduser("~/.cache/jax_compilation")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mint_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 
 from mint_tpu.config.schema import load_pipeline_config
 from mint_tpu.models.fact import FACT, init_params

@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_compilation"))
+from mint_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 
 from mint_tpu.ops.mlp import fused_mlp, _reference_mlp
 

@@ -167,11 +167,15 @@ def test_override_repeated_scalar_appends():
     _merge_msg(base2, textproto.parse("pck_thresholds: 0.1"),
                MotionGenerationMetrics)
     assert base2.get_all("pck_thresholds") == [0.05, 0.1]
-    # A key named like a List field of an UNRELATED message is singular
-    # here: last-one-wins, not append (the old global name set appended).
+    # When the dataclass chain is NOT available (untyped call — the
+    # same state reached through wrapper messages the dataclasses
+    # flatten, like eval_metric), a globally-List-named field falls
+    # back to appending: protobuf semantics for the real proto schema
+    # win over the name-collision edge case (documented in
+    # _global_repeated_names).
     base2b = textproto.parse("pck_thresholds: 0.05")
     _merge_msg(base2b, textproto.parse("pck_thresholds: 0.1"))  # untyped
-    assert base2b.get_all("pck_thresholds") == [0.1]
+    assert base2b.get_all("pck_thresholds") == [0.05, 0.1]
     # Repeated MESSAGE fields append as well (e.g. LR schedule entries).
     base3 = textproto.parse("schedule { step: 1 } ")
     _merge_msg(base3, textproto.parse("schedule { step: 2 }"),
@@ -186,3 +190,27 @@ def test_override_repeated_scalar_appends():
     base5 = textproto.parse("x: 1 x: 2")
     _merge_msg(base5, textproto.parse("x: 3 x: 4"))
     assert base5.get_all("x") == [1, 2, 3, 4]
+
+
+def test_override_appends_repeated_scalar_through_flattened_wrapper(
+        tmp_path):
+    """Regression: the proto's ``eval_metric`` wrapper message is
+    flattened away by the dataclass schema (EvalConfig holds
+    motion_generation_metrics directly), so the per-type walk breaks at
+    that key.  A single-occurrence ``pck_thresholds`` override reaching
+    it through the REAL ``load_pipeline_config(config_override=...)``
+    root path must still APPEND (protobuf Merge semantics), via the
+    global List-name fallback — the occurrence-count heuristic alone
+    overwrote it."""
+    path = tmp_path / "with_metric.config"
+    path.write_text(
+        "eval_config { eval_metric { motion_generation_metrics {"
+        " pck_thresholds: 0.05 } } }\n")
+    pipeline = load_pipeline_config(
+        str(path),
+        config_override="eval_config { eval_metric {"
+                        " motion_generation_metrics {"
+                        " pck_thresholds: 0.1 } } }")
+    mm = pipeline.eval_config.motion_generation_metrics
+    assert mm is not None
+    assert mm.pck_thresholds == [0.05, 0.1]

@@ -125,3 +125,27 @@ def test_scan_decoder_parity_flagship_config():
     got = infer_auto_regressive(model, params, inputs, steps=steps)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_padded_batch_size_rule():
+    """The shared evaluator/serving batch-padding rule: next pow2,
+    optionally capped (never below n_real), then rounded up to a
+    data-axis multiple when a mesh is given."""
+    from mint_tpu.infer.decoder import padded_batch_size
+    from mint_tpu.parallel import make_mesh
+
+    assert padded_batch_size(1) == 1
+    assert padded_batch_size(3) == 4
+    assert padded_batch_size(5) == 8
+    assert padded_batch_size(64) == 64
+    # Cap bounds the pow2 growth but never truncates real rows.
+    assert padded_batch_size(5, cap=4) == 5
+    assert padded_batch_size(33, cap=64) == 64
+    assert padded_batch_size(65, cap=64) == 65
+    # On a mesh the padded total shards evenly over the data axis.
+    mesh6 = make_mesh(data=6, model=1, devices=jax.devices()[:6])
+    assert padded_batch_size(1, mesh=mesh6) == 6
+    assert padded_batch_size(5, mesh=mesh6) == 12  # pow2 8 -> 12
+    mesh8 = make_mesh(data=8, model=1)
+    assert padded_batch_size(3, mesh=mesh8) == 8
+    assert padded_batch_size(16, mesh=mesh8) == 16

@@ -10,6 +10,7 @@ model, so a structure drift can't silently break ``apply``.
 
 import copy
 import os
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +47,10 @@ def small_model():
     def perturb(path, leaf):
         name = "/".join(str(p) for p in path)
         if "norm" in name:
-            key = jax.random.PRNGKey(hash(name) % (2 ** 31))
+            # crc32, not hash(): str hashing is salted per process, and a
+            # salt-dependent perturbation would make failures irreproducible.
+            key = jax.random.PRNGKey(
+                zlib.crc32(name.encode()) % (2 ** 31))
             return leaf + 0.3 * jax.random.normal(key, leaf.shape)
         return leaf
     params = jax.tree_util.tree_map_with_path(perturb, params)

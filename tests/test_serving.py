@@ -297,6 +297,24 @@ class TestMeshServing:
             svc_one.close()
             svc_mesh.close()
 
+    def test_warmup_on_mesh(self):
+        """Boot warmup composes with sharded decode: the throwaway batch
+        pads to the data-axis multiple and later requests are unaffected."""
+        from mint_tpu.parallel import mesh as mesh_lib
+
+        model, params = _tiny_model()
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        svc = GenerationService(model, params, default_steps=8, mesh=mesh)
+        try:
+            dt = svc.warmup()
+            assert dt > 0
+            assert svc.stats_snapshot()["batches"] == 1
+            out = svc.generate(
+                RNG.standard_normal((40, 35)).astype(np.float32), steps=8)
+            assert out.shape == (8, 225) and np.isfinite(out).all()
+        finally:
+            svc.close()
+
     def test_mesh_pads_to_data_axis_multiple(self):
         """A single request on a 6-wide data axis must still shard: the
         pow2 pad (1) is rounded up to the axis multiple (6)."""

@@ -158,6 +158,40 @@ def test_controller_trains_and_checkpoints(tmp_path):
     ctl2.close()
 
 
+def test_controller_flushes_pending_metrics_on_loop_exception(tmp_path):
+    """The loop-boundary metric fetch is deferred until the NEXT loop is
+    in flight (overlap, docs/BENCHMARKS.md); if that next loop raises —
+    TPU worker drop, exhausted iterator — the completed loop's summary
+    must still be written before the exception propagates (a resumed run
+    never rewrites a passed interval)."""
+    import json
+
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+    rng = np.random.RandomState(3)
+    batch = trainer.shard_batch(make_batch(rng, 8, model))
+
+    def batches(n):
+        for _ in range(n):
+            yield batch
+        raise RuntimeError("simulated worker drop")
+
+    ctl = Controller(trainer=trainer, train_iter=batches(5), state=state,
+                     steps_per_loop=5,
+                     summary_dir=str(tmp_path / "summaries"),
+                     summary_interval=5)
+    with pytest.raises(RuntimeError, match="simulated worker drop"):
+        ctl.train(20)
+    ctl.close()
+    path = tmp_path / "summaries" / "metrics.jsonl"
+    assert path.exists()
+    rows = [json.loads(line) for line in path.read_text().splitlines()]
+    assert [r["step"] for r in rows] == [5]
+    assert "loss" in rows[0]
+
+
 def test_fused_loop_matches_per_step():
     """Controller(fuse_loop=True) — one lax.scan dispatch per loop — must
     produce the same parameters and metrics as the per-step loop over the
