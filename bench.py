@@ -124,13 +124,17 @@ def main_with_retry(attempts: int = 3, backoff_s: float = 180.0):
             return
         # rc < 0 = killed by a signal: the tunnel runtime SIGKILLs the
         # child when the remote worker drops — no signature reaches
-        # stderr, but the failure is exactly the transient kind.
-        is_transient = (proc.returncode < 0 or any(
-            sig in stderr.lower() for sig in transient))
+        # stderr, but the failure is exactly the transient kind.  (A
+        # deterministic OOM-kill also lands here and burns the retries;
+        # the printed cause makes that diagnosable.)
+        matched = [sig for sig in transient if sig in stderr.lower()]
+        is_transient = proc.returncode < 0 or bool(matched)
         if attempt == attempts - 1 or not is_transient:
             raise SystemExit(proc.returncode)
+        cause = (f"signal {-proc.returncode}" if proc.returncode < 0
+                 else f"matched {matched!r}")
         print(f"# bench attempt {attempt + 1} hit a transient TPU-worker "
-              f"failure (rc={proc.returncode}); retrying in "
+              f"failure (rc={proc.returncode}, {cause}); retrying in "
               f"{backoff_s:.0f}s in a fresh process", flush=True)
         time.sleep(backoff_s)
 

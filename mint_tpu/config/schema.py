@@ -457,12 +457,21 @@ def _field_info(dc_type, key: str):
 
     Cardinality comes from the dataclass SCHEMA AT THIS MESSAGE TYPE, so
     a forward-compat key that happens to share a name with a List-typed
-    field of some other message is not misclassified as repeated."""
+    field of some other message is not misclassified as repeated.
+
+    Proto wrapper messages the dataclasses FLATTEN (`eval.proto:24`'s
+    singular ``EvalMetric eval_metric``, whose oneof members EvalConfig
+    holds directly) are modeled as TRANSPARENT: the walk continues with
+    the same dataclass type, so fields reached through the wrapper keep
+    their schema-derived cardinality."""
     import dataclasses as dc
     import sys
 
     if dc_type is None or not dc.is_dataclass(dc_type):
         return False, False, None
+    wrapped = _TRANSPARENT_WRAPPERS.get((dc_type, key))
+    if wrapped is not None:
+        return True, False, wrapped
     for f in dc.fields(dc_type):
         if f.name != key:
             continue
@@ -477,30 +486,11 @@ def _field_info(dc_type, key: str):
     return False, False, None
 
 
-_GLOBAL_REPEATED_NAMES: Optional[set] = None
-
-
-def _global_repeated_names() -> set:
-    """Names of List-typed fields across ALL dataclasses in this module —
-    the fallback classifier for keys reached through a chain the
-    dataclass schema doesn't model (e.g. the proto's ``eval_metric``
-    wrapper, which the dataclasses flatten into ``EvalConfig``).  Name
-    collisions across messages are possible here, which is exactly why
-    the per-type walk is tried first."""
-    global _GLOBAL_REPEATED_NAMES
-    if _GLOBAL_REPEATED_NAMES is None:
-        import dataclasses as dc
-        import sys
-
-        names = set()
-        for obj in vars(sys.modules[__name__]).values():
-            if dc.is_dataclass(obj) and isinstance(obj, type):
-                for f in dc.fields(obj):
-                    if str(f.type).replace("typing.", "").startswith(
-                            "List["):
-                        names.add(f.name)
-        _GLOBAL_REPEATED_NAMES = names
-    return _GLOBAL_REPEATED_NAMES
+# Proto wrapper messages the dataclasses flatten away, keyed by the
+# dataclass whose fields absorb the wrapper's members (see _field_info).
+_TRANSPARENT_WRAPPERS = {
+    (EvalConfig, "eval_metric"): EvalConfig,
+}
 
 
 def _merge_msg(base: Msg, override: Msg, dc_type=None) -> None:
@@ -508,16 +498,15 @@ def _merge_msg(base: Msg, override: Msg, dc_type=None) -> None:
     singular message fields merge field-by-field, singular scalar fields
     are overwritten, repeated fields (message or scalar) are appended —
     repeated-ness comes from the dataclass schema at the CURRENT message
-    type (``_field_info``); for keys the current type doesn't model
-    (wrapper messages the dataclasses flatten, forward-compat keys) the
-    classifier falls back to the module-global List-typed-name set, then
-    to the occurrence-count heuristic.
+    type (``_field_info``, which also resolves flattened wrapper keys);
+    for fields the dataclasses don't model (forward-compat keys kept
+    only in the Msg tree) the occurrence-count heuristic applies — never
+    collapse a multi-occurrence field with replace().
     """
     for key, value in override.items():
         existing = base.get(key)
         known, is_list, child_dc = _field_info(dc_type, key)
-        repeated = ((is_list if known
-                     else key in _global_repeated_names())
+        repeated = ((is_list if known else False)
                     or len(base.get_all(key)) > 1
                     or len(override.get_all(key)) > 1)
         if isinstance(value, Msg) and isinstance(existing, Msg) \

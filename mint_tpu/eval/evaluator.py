@@ -24,6 +24,7 @@ import numpy as np
 
 from mint_tpu.infer import decoder
 from mint_tpu.models.fact import FACT
+from mint_tpu.parallel import mesh as mesh_lib
 
 
 class Evaluator:

@@ -153,6 +153,10 @@ class Controller:
                     timer.step()
             if self._pending is not None:
                 metrics = self._flush_loop_metrics(*self._pending, timer)
+                # Clear BEFORE the next blocking call: global_step below
+                # materializes this loop's device step and can raise —
+                # train()'s handler must not re-flush what just flushed.
+                self._pending = None
             step = self.global_step
             self._pending = (step, loop, step_metrics)
             if self.checkpoint_manager is not None:

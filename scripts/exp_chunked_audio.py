@@ -1,7 +1,7 @@
 """Chunked audio-encoder hoisting: the audio transformer depends only on
 the (known) audio track, so encode K windows per outer step as one big
 batched call, leaving only motion encoder + cross inside the AR scan."""
-import os, sys, time, functools
+import sys, time, functools
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
 from mint_tpu.utils.compile_cache import enable_persistent_cache

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import os
 from mint_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 

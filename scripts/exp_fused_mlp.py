@@ -9,7 +9,6 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-import os
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,5 @@
 """A/B the truncated final cross block inside the decode scan on the TPU."""
-import os, sys, time, functools
+import sys, time, functools
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
 from mint_tpu.utils.compile_cache import enable_persistent_cache

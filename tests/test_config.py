@@ -167,15 +167,13 @@ def test_override_repeated_scalar_appends():
     _merge_msg(base2, textproto.parse("pck_thresholds: 0.1"),
                MotionGenerationMetrics)
     assert base2.get_all("pck_thresholds") == [0.05, 0.1]
-    # When the dataclass chain is NOT available (untyped call — the
-    # same state reached through wrapper messages the dataclasses
-    # flatten, like eval_metric), a globally-List-named field falls
-    # back to appending: protobuf semantics for the real proto schema
-    # win over the name-collision edge case (documented in
-    # _global_repeated_names).
+    # When the dataclass chain is NOT available (untyped call) a
+    # single-occurrence field is singular: last-one-wins, never a
+    # name-based guess.  Typed chains through flattened wrappers keep
+    # proto semantics via _TRANSPARENT_WRAPPERS (test below).
     base2b = textproto.parse("pck_thresholds: 0.05")
     _merge_msg(base2b, textproto.parse("pck_thresholds: 0.1"))  # untyped
-    assert base2b.get_all("pck_thresholds") == [0.05, 0.1]
+    assert base2b.get_all("pck_thresholds") == [0.1]
     # Repeated MESSAGE fields append as well (e.g. LR schedule entries).
     base3 = textproto.parse("schedule { step: 1 } ")
     _merge_msg(base3, textproto.parse("schedule { step: 2 }"),
@@ -196,12 +194,13 @@ def test_override_appends_repeated_scalar_through_flattened_wrapper(
         tmp_path):
     """Regression: the proto's ``eval_metric`` wrapper message is
     flattened away by the dataclass schema (EvalConfig holds
-    motion_generation_metrics directly), so the per-type walk breaks at
-    that key.  A single-occurrence ``pck_thresholds`` override reaching
-    it through the REAL ``load_pipeline_config(config_override=...)``
-    root path must still APPEND (protobuf Merge semantics), via the
-    global List-name fallback — the occurrence-count heuristic alone
-    overwrote it."""
+    motion_generation_metrics directly), so a naive per-type walk breaks
+    at that key.  A single-occurrence ``pck_thresholds`` override
+    reaching it through the REAL ``load_pipeline_config(
+    config_override=...)`` root path must still APPEND (protobuf Merge
+    semantics) — _TRANSPARENT_WRAPPERS keeps the typed walk alive
+    through the wrapper; the occurrence-count heuristic alone overwrote
+    it."""
     path = tmp_path / "with_metric.config"
     path.write_text(
         "eval_config { eval_metric { motion_generation_metrics {"
