@@ -100,7 +100,7 @@ def main_with_retry(attempts: int = 3, backoff_s: float = 180.0):
     # which layer formats it.
     transient = ("tpu worker process crashed", "failed_precondition",
                  "failed precondition", "unavailable", "deadline_exceeded",
-                 "deadline exceeded", "socket closed")
+                 "deadline exceeded", "socket closed", "connection reset")
 
     env = dict(os.environ)
     env["MINT_BENCH_CHILD"] = "1"

@@ -125,6 +125,12 @@ class Evaluator:
             self._decode_model, params = fold_for_decode(self.model, params)
         else:
             self._decode_model = self.model
+        if self.mesh is not None:
+            # Restored params are COMMITTED to one device (orbax
+            # SingleDeviceSharding); decode inputs are placed across the
+            # mesh and jit refuses mixed committed devices.  Replicate
+            # once per pass (a no-op when already so placed).
+            params = jax.device_put(params, mesh_lib.replicated(self.mesh))
         for metric in self.metrics:
             metric.reset_states()
         if self.output_dir is not None:

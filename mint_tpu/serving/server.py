@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import queue
 import threading
 import time
@@ -35,6 +36,8 @@ import numpy as np
 
 from mint_tpu.infer import decoder
 from mint_tpu.models.fact import FACT
+
+log = logging.getLogger(__name__)
 
 
 class _Request:
@@ -79,8 +82,16 @@ class GenerationService:
         # program's new QKV bias/schedule costs more than the affine it
         # removes (docs/BENCHMARKS.md, round-3 ablations).
         self.model = model
-        self.params = params
         self.mesh = mesh
+        if mesh is not None:
+            # Checkpoint restores return arrays COMMITTED to one device
+            # (orbax SingleDeviceSharding); decode inputs are placed
+            # across the mesh, and jit refuses mixed committed devices.
+            # Replicate params over the mesh once at boot.
+            import jax
+            from mint_tpu.parallel import mesh as mesh_lib
+            params = jax.device_put(params, mesh_lib.replicated(mesh))
+        self.params = params
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
         self.default_steps = default_steps
@@ -92,6 +103,7 @@ class GenerationService:
         self.stats = {"requests": 0, "batches": 0, "generated_frames": 0}
         self._stats_lock = threading.Lock()
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._fatal: Optional[str] = None
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -123,14 +135,30 @@ class GenerationService:
                 raise ValueError(
                     f"seed motion must be [{motion_seq}, "
                     f"{self.motion_dim}], got {list(seed.shape)}")
+        if self._fatal:
+            raise RuntimeError(self._fatal)
         req = _Request(np.asarray(audio, np.float32), seed,
                        steps or self.default_steps)
         self._bump("requests")
         self._q.put(req)
-        # Event.wait(inf) overflows in CPython; None blocks indefinitely.
-        wait_s = None if timeout == float("inf") else timeout
-        if not req.event.wait(wait_s):
-            raise TimeoutError("generation timed out")
+        # Poll in short slices instead of one long wait: a dead worker
+        # must surface as an error now, not as a (possibly infinite —
+        # warmup passes timeout=inf) silent hang.  Each slice is bounded
+        # by the remaining budget so the timeout stays strict; the event
+        # path is unaffected: wait() returns the moment the result lands.
+        deadline = (None if timeout == float("inf")
+                    else time.time() + timeout)
+        while True:
+            remaining = None if deadline is None else deadline - time.time()
+            if remaining is not None and remaining <= 0:
+                if req.event.is_set():
+                    break
+                raise TimeoutError("generation timed out")
+            if req.event.wait(1.0 if remaining is None
+                              else min(1.0, remaining)):
+                break
+            if self._fatal and not req.event.is_set():
+                raise RuntimeError(self._fatal)
         if req.error:
             raise ValueError(req.error)
         return req.result
@@ -189,11 +217,33 @@ class GenerationService:
         return batch
 
     def _run(self):
-        while not self._stop.is_set():
-            batch = self._collect()
-            if not batch:
-                continue
-            self._process(batch)
+        batch: List[_Request] = []
+        try:
+            while not self._stop.is_set():
+                batch = self._collect()
+                if not batch:
+                    continue
+                self._process(batch)
+                batch = []
+        except BaseException as e:
+            # The per-bucket try in _process only covers decode failures;
+            # anything else (collect/bucketing bugs, MemoryError) would
+            # kill this daemon thread SILENTLY and strand every waiter —
+            # warmup() waits with timeout=inf, so boot would hang forever.
+            # Record the death, fail the in-flight batch and the queue.
+            self._fatal = f"serving worker died: {type(e).__name__}: {e}"
+            log.exception("serving worker died")
+            pending = [r for r in batch if not r.event.is_set()]
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    pending.append(item)
+            for req in pending:
+                req.error = self._fatal
+                req.event.set()
 
     def _process(self, batch: List[_Request]):
         motion_seq = self.model.motion_seq_length

@@ -41,9 +41,12 @@ flags.DEFINE_integer("steps_bucket", 128,
                      "Quantize generatable lengths up to multiples of "
                      "this so nearby audio lengths share one compiled "
                      "decoder (0 = off; default matches the serving "
-                     "batcher).  Saved clips are bit-identical at fixed "
-                     "decode batch: padded audio is never read by kept "
-                     "frames and overshoot is trimmed per clip.")
+                     "batcher).  Protocol-exact: padded audio is never "
+                     "read by kept frames and overshoot is trimmed per "
+                     "clip.  Bucketing can regroup clips into different "
+                     "decode-batch shapes, so saved floats may differ "
+                     "from --steps_bucket=0 within XLA fusion tolerance "
+                     "(metrics are batching-invariant, tests/test_eval).")
 # Unused flags kept for sweep compatibility (reference evaluator.py:36-41).
 flags.DEFINE_float("initial_learning_rate", 0.1, "UNUSED FLAG.")
 flags.DEFINE_float("weight_decay", None, "UNUSED FLAG.")

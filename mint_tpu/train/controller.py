@@ -162,7 +162,16 @@ class Controller:
             if self.checkpoint_manager is not None:
                 # The save decision depends only on `step`; on its interval
                 # it materializes this loop's state (synchronous, rare).
-                self.checkpoint_manager.save(step, self.state)
+                # When a save DID happen, flush this loop's summary too:
+                # a checkpoint must never outlive its summary — a SIGKILL
+                # between the two would leave a resumed run with a
+                # permanent metrics gap at exactly the restore step (the
+                # deferred flush only covers exceptions, not kill -9).
+                if self.checkpoint_manager.save(step, self.state) \
+                        and self._pending is not None:
+                    metrics = self._flush_loop_metrics(*self._pending,
+                                                       timer)
+                    self._pending = None
         return metrics
 
     def _flush_loop_metrics(self, step: int, loop: int, step_metrics,

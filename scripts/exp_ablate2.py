@@ -30,9 +30,14 @@ def _patch(variant):
     if variant == "ln_flaxnoaffine":
         orig = nn.LayerNorm
 
-        class _LN(orig):
-            use_scale: bool = False
-            use_bias: bool = False
+        # A subclass with use_scale/use_bias=False defaults is NOT enough:
+        # layers.Block passes use_scale=/use_bias= explicitly (the
+        # ln_affine_folded knob), and explicit kwargs beat class defaults.
+        # Force the values by rewriting the kwargs at construction.
+        def _LN(*args, **kw):
+            kw["use_scale"] = False
+            kw["use_bias"] = False
+            return orig(*args, **kw)
 
         nn.LayerNorm = _LN
 

@@ -114,8 +114,12 @@ class TestShardedEvaluator:
 
         mesh = mesh_lib.make_mesh(data=4, model=2)
         mesh_dir = tmp_path / "mesh"
+        # COMMITTED params (what a checkpoint restore returns — orbax
+        # SingleDeviceSharding): the evaluator must replicate them over
+        # the mesh or jit raises 'Received incompatible devices'.
+        committed = jax.device_put(params, jax.devices()[0])
         Evaluator(model, dataset, output_dir=str(mesh_dir),
-                  steps=10, mesh=mesh).evaluate(params)
+                  steps=10, mesh=mesh).evaluate(committed)
 
         files = sorted(_os.listdir(single_dir))
         assert files == sorted(_os.listdir(mesh_dir)) and len(files) == 3

@@ -297,6 +297,49 @@ class TestMeshServing:
             svc_one.close()
             svc_mesh.close()
 
+    def test_mesh_serving_with_committed_params(self):
+        """Params restored from a checkpoint are COMMITTED to one device
+        (orbax SingleDeviceSharding); mesh serving must replicate them at
+        boot or jit raises 'Received incompatible devices' on the first
+        decode (crashed the real --checkpoint_dir server path)."""
+        from mint_tpu.parallel import mesh as mesh_lib
+
+        model, params = _tiny_model()
+        committed = jax.device_put(params, jax.devices()[0])
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        svc = GenerationService(model, committed, default_steps=8,
+                                mesh=mesh)
+        try:
+            out = svc.generate(
+                RNG.standard_normal((40, 35)).astype(np.float32), steps=8)
+            assert out.shape == (8, 225) and np.isfinite(out).all()
+        finally:
+            svc.close()
+
+    def test_worker_death_fails_requests_fast(self):
+        """An exception OUTSIDE the per-bucket try (collect/bucketing bug)
+        must fail waiting and queued requests with a diagnostic — not
+        strand them until timeout (warmup waits with timeout=inf)."""
+        model, params = _tiny_model()
+        svc = GenerationService(model, params, default_steps=8)
+        try:
+            def boom(batch):
+                raise MemoryError("simulated fatal worker error")
+
+            svc._process = boom
+            audio = RNG.standard_normal((40, 35)).astype(np.float32)
+            # ValueError when the dying worker set req.error first,
+            # RuntimeError when the waiter saw the death flag — either
+            # way it carries the diagnostic and arrives promptly.
+            with pytest.raises((RuntimeError, ValueError),
+                               match="serving worker died"):
+                svc.generate(audio, steps=8, timeout=60.0)
+            # Later requests fail fast, before enqueueing.
+            with pytest.raises(RuntimeError, match="serving worker died"):
+                svc.generate(audio, steps=8, timeout=60.0)
+        finally:
+            svc.close()
+
     def test_warmup_on_mesh(self):
         """Boot warmup composes with sharded decode: the throwaway batch
         pads to the data-axis multiple and later requests are unaffected."""

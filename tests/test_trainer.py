@@ -192,6 +192,65 @@ def test_controller_flushes_pending_metrics_on_loop_exception(tmp_path):
     assert "loss" in rows[0]
 
 
+def test_checkpoint_save_implies_summary_written(tmp_path):
+    """A checkpoint at step N must never exist without step N's summary
+    row: the deferred (overlapped) flush only covers exceptions, not a
+    SIGKILL landing between the save and the next loop — so when a save
+    actually happens, the controller flushes that loop's metrics in the
+    same iteration, before dispatching anything else."""
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+    rng = np.random.RandomState(5)
+    batch = trainer.shard_batch(make_batch(rng, 8, model))
+
+    events = []
+    orig_step = trainer.train_step
+
+    def spy_step(state, b):
+        events.append("dispatch")
+        return orig_step(state, b)
+
+    trainer.train_step = spy_step
+
+    def batches():
+        while True:
+            yield batch
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=5,
+                            max_to_keep=5)
+    orig_save = mgr.save
+
+    def spy_save(step, state, force=False):
+        saved = orig_save(step, state, force=force)
+        if saved:
+            events.append(("saved", step))
+        return saved
+
+    mgr.save = spy_save
+    ctl = Controller(trainer=trainer, train_iter=batches(), state=state,
+                     steps_per_loop=5, checkpoint_manager=mgr,
+                     summary_dir=str(tmp_path / "summaries"),
+                     summary_interval=5)
+    orig_write = ctl.metrics_writer.write
+
+    def spy_write(step, metrics):
+        events.append(("write", step))
+        return orig_write(step, metrics)
+
+    ctl.metrics_writer.write = spy_write
+    ctl.train(10)
+    ctl.close()
+    # Each save is followed by that step's summary write BEFORE any
+    # further dispatch.
+    for saved_step in (5, 10):
+        i_save = events.index(("saved", saved_step))
+        i_write = events.index(("write", saved_step))
+        assert i_write > i_save
+        assert "dispatch" not in events[i_save:i_write]
+
+
 def test_fused_loop_matches_per_step():
     """Controller(fuse_loop=True) — one lax.scan dispatch per loop — must
     produce the same parameters and metrics as the per-step loop over the
