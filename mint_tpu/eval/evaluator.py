@@ -126,11 +126,10 @@ class Evaluator:
         else:
             self._decode_model = self.model
         if self.mesh is not None:
-            # Restored params are COMMITTED to one device (orbax
-            # SingleDeviceSharding); decode inputs are placed across the
-            # mesh and jit refuses mixed committed devices.  Replicate
-            # once per pass (a no-op when already so placed).
-            params = jax.device_put(params, mesh_lib.replicated(self.mesh))
+            # Restored params are single-device-committed; replicate
+            # once per pass (no-op when already so placed — mesh_lib
+            # docs).
+            params = mesh_lib.replicate_params(params, self.mesh)
         for metric in self.metrics:
             metric.reset_states()
         if self.output_dir is not None:

@@ -84,3 +84,15 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def replicate_params(params, mesh: Mesh):
+    """Replicate a param pytree over `mesh` for data-parallel decode.
+
+    Checkpoint restores (orbax) return arrays COMMITTED to a single
+    device; jit refuses to mix them with inputs placed across a mesh
+    ('Received incompatible devices').  Shared by the Evaluator and the
+    serving batcher — any new mesh decode entry point restoring params
+    from a checkpoint needs the same placement.  A no-op when params
+    are already so placed."""
+    return jax.device_put(params, replicated(mesh))

@@ -49,6 +49,10 @@ class _Request:
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[str] = None
+        # True when `error` is a SERVICE fault (worker death), not a bad
+        # request: generate() raises RuntimeError (HTTP 500), never the
+        # ValueError (400) reserved for client errors.
+        self.fatal = False
 
 
 class GenerationService:
@@ -84,13 +88,10 @@ class GenerationService:
         self.model = model
         self.mesh = mesh
         if mesh is not None:
-            # Checkpoint restores return arrays COMMITTED to one device
-            # (orbax SingleDeviceSharding); decode inputs are placed
-            # across the mesh, and jit refuses mixed committed devices.
-            # Replicate params over the mesh once at boot.
-            import jax
+            # Checkpoint restores return single-device-committed arrays;
+            # replicate over the mesh once at boot (mesh_lib docs).
             from mint_tpu.parallel import mesh as mesh_lib
-            params = jax.device_put(params, mesh_lib.replicated(mesh))
+            params = mesh_lib.replicate_params(params, mesh)
         self.params = params
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
@@ -146,10 +147,13 @@ class GenerationService:
         # warmup passes timeout=inf) silent hang.  Each slice is bounded
         # by the remaining budget so the timeout stays strict; the event
         # path is unaffected: wait() returns the moment the result lands.
+        # Monotonic clock: Event.wait itself is monotonic, and a wall-
+        # clock NTP step must not shrink or stretch the request budget.
         deadline = (None if timeout == float("inf")
-                    else time.time() + timeout)
+                    else time.monotonic() + timeout)
         while True:
-            remaining = None if deadline is None else deadline - time.time()
+            remaining = (None if deadline is None
+                         else deadline - time.monotonic())
             if remaining is not None and remaining <= 0:
                 if req.event.is_set():
                     break
@@ -160,7 +164,9 @@ class GenerationService:
             if self._fatal and not req.event.is_set():
                 raise RuntimeError(self._fatal)
         if req.error:
-            raise ValueError(req.error)
+            # Service faults surface as RuntimeError (HTTP 500); only
+            # genuine client errors get ValueError (HTTP 400).
+            raise (RuntimeError if req.fatal else ValueError)(req.error)
         return req.result
 
     def warmup(self, steps: Optional[int] = None) -> float:
@@ -243,6 +249,7 @@ class GenerationService:
                     pending.append(item)
             for req in pending:
                 req.error = self._fatal
+                req.fatal = True
                 req.event.set()
 
     def _process(self, batch: List[_Request]):

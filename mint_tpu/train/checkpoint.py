@@ -34,12 +34,19 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state: Any, force: bool = False) -> bool:
+    def would_save(self, step: int, force: bool = False) -> bool:
+        """Whether :meth:`save` would write a checkpoint at `step` —
+        lets callers order work that must precede a save (e.g. the
+        controller writes the step's summary first: a checkpoint must
+        never outlive its summary)."""
         if step in self._mgr.all_steps():
             return False  # already saved (e.g. force-save after interval)
         last = self._mgr.latest_step()
-        if not force and last is not None \
-                and step - last < self.save_interval_steps:
+        return force or last is None \
+            or step - last >= self.save_interval_steps
+
+    def save(self, step: int, state: Any, force: bool = False) -> bool:
+        if not self.would_save(step, force):
             return False
         return self._mgr.save(step, args=ocp.args.StandardSave(state),
                               force=True)

@@ -159,19 +159,18 @@ class Controller:
                 self._pending = None
             step = self.global_step
             self._pending = (step, loop, step_metrics)
-            if self.checkpoint_manager is not None:
-                # The save decision depends only on `step`; on its interval
-                # it materializes this loop's state (synchronous, rare).
-                # When a save DID happen, flush this loop's summary too:
-                # a checkpoint must never outlive its summary — a SIGKILL
-                # between the two would leave a resumed run with a
-                # permanent metrics gap at exactly the restore step (the
-                # deferred flush only covers exceptions, not kill -9).
-                if self.checkpoint_manager.save(step, self.state) \
-                        and self._pending is not None:
-                    metrics = self._flush_loop_metrics(*self._pending,
-                                                       timer)
-                    self._pending = None
+            if self.checkpoint_manager is not None \
+                    and self.checkpoint_manager.would_save(step):
+                # A checkpoint must never outlive its summary: a SIGKILL
+                # after the (async-finalized) save but before the write
+                # would leave a resumed run with a permanent metrics gap
+                # at exactly the restore step (the deferred flush only
+                # covers exceptions, not kill -9).  So on save loops —
+                # rare — the summary is written FIRST, giving up the
+                # dispatch overlap once per interval.
+                metrics = self._flush_loop_metrics(*self._pending, timer)
+                self._pending = None
+                self.checkpoint_manager.save(step, self.state)
         return metrics
 
     def _flush_loop_metrics(self, step: int, loop: int, step_metrics,

@@ -195,9 +195,8 @@ def test_controller_flushes_pending_metrics_on_loop_exception(tmp_path):
 def test_checkpoint_save_implies_summary_written(tmp_path):
     """A checkpoint at step N must never exist without step N's summary
     row: the deferred (overlapped) flush only covers exceptions, not a
-    SIGKILL landing between the save and the next loop — so when a save
-    actually happens, the controller flushes that loop's metrics in the
-    same iteration, before dispatching anything else."""
+    SIGKILL — and the save is finalized asynchronously, so the summary
+    must be written BEFORE the save is even initiated."""
     model = build(tiny_cfg(), is_training=True)
     params = init_params(model, jax.random.PRNGKey(0))
     trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
@@ -242,13 +241,14 @@ def test_checkpoint_save_implies_summary_written(tmp_path):
     ctl.metrics_writer.write = spy_write
     ctl.train(10)
     ctl.close()
-    # Each save is followed by that step's summary write BEFORE any
-    # further dispatch.
+    # Each save is PRECEDED by that step's summary write, with no
+    # dispatch in between (summary-first: a kill -9 any time after the
+    # async save starts still finds the row on disk).
     for saved_step in (5, 10):
         i_save = events.index(("saved", saved_step))
         i_write = events.index(("write", saved_step))
-        assert i_write > i_save
-        assert "dispatch" not in events[i_save:i_write]
+        assert i_write < i_save
+        assert "dispatch" not in events[i_write:i_save]
 
 
 def test_fused_loop_matches_per_step():
