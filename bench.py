@@ -64,10 +64,12 @@ def main():
     out = infer_auto_regressive(model, params, inputs, steps=STEPS)
     np.asarray(out)
 
-    # Median of >=3 timed repeats: the tunneled chip adds per-dispatch
-    # latency jitter, so a single sample can misreport by a lot.
+    # Median of 5 timed repeats: the tunneled chip adds per-dispatch
+    # latency jitter (±2% run-to-run observed), so a single sample can
+    # misreport by a lot; 5 samples keep the median stable when one or
+    # two land on a slow chip interval (~30 s each, still < 3 min).
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = infer_auto_regressive(model, params, inputs, steps=STEPS)
         out = np.asarray(out)

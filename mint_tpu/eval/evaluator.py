@@ -35,11 +35,22 @@ class Evaluator:
                  steps: int = 1200, decode_batch: int = 64, mesh=None,
                  dispatch_chunk: Optional[int] = 200,
                  steps_bucket: Optional[int] = None,
-                 fold_ln: bool = False):
+                 fold_ln: bool = False,
+                 cache_examples: bool = True):
         """`dataset` is an iterable of batches, or a zero-arg callable
         returning one (for continuous eval, which runs a pass per
         checkpoint — reference re-iterates its tf.data.Dataset).  A plain
         one-shot iterator is drained once and its examples cached.
+
+        `cache_examples` (default True) also caches the flattened corpus
+        across passes for CALLABLE datasets: the eval corpus is a fixed
+        file set for the duration of a run, so re-draining it per
+        checkpoint yields identical examples while re-paying the tfrecord
+        read+parse each pass (0.2 s on the warm-cache 187 MB E2E corpus —
+        scripts/exp_eval_corpus_cache.py — but proportional to corpus
+        size and cold-cache I/O).  Pass False to re-invoke the factory
+        every pass (e.g. if eval tfrecords are appended to while a
+        continuous eval is running).
 
         With `mesh` (a jax.sharding.Mesh), decode batches are sharded over
         the mesh's data axis — multi-chip generation; clip buckets are
@@ -81,17 +92,15 @@ class Evaluator:
         self.steps_bucket = (int(steps_bucket)
                              if steps_bucket and steps_bucket > 0 else None)
         self.fold_ln = bool(fold_ln)
+        self.cache_examples = bool(cache_examples)
         self._decode_model = model  # replaced per-evaluate when folding
         self._cache: Optional[List[Dict]] = None
 
     def _examples(self) -> List[Dict]:
         """Flatten the (possibly batched) dataset into per-clip examples."""
-        if callable(self.dataset):
-            source = self.dataset()
-        elif self._cache is not None:
+        if self._cache is not None:
             return self._cache
-        else:
-            source = self.dataset
+        source = self.dataset() if callable(self.dataset) else self.dataset
         examples = []
         for batch in source:
             motion = np.asarray(batch["motion_input"])
@@ -114,7 +123,9 @@ class Evaluator:
                     "target": (np.asarray(batch["target"])[i]
                                if "target" in batch else None),
                 })
-        if not callable(self.dataset):
+        # Non-callable datasets are ALWAYS cached (a one-shot iterator
+        # would re-drain empty); callables honor cache_examples.
+        if self.cache_examples or not callable(self.dataset):
             self._cache = examples
         return examples
 

@@ -178,3 +178,17 @@ def init_params(model: FACT, rng: jax.Array, batch_size: int = 1,
             (batch_size, audio_cfg.sequence_length, audio_dim), jnp.float32),
     }
     return model.init(rng, dummy)
+
+
+def abstract_params(model: FACT, batch_size: int = 1,
+                    audio_dim: int = 0) -> dict:
+    """Shape/dtype skeleton of :func:`init_params`' output without
+    computing it (``jax.eval_shape`` — no device FLOPs, no transfer).
+
+    For CLIs whose params are immediately overwritten by a checkpoint
+    restore (eval, serving): materializing 120M truncated-normal
+    weights just to discard them costs a full init compile + compute
+    on the device before the restore can even start."""
+    return jax.eval_shape(
+        lambda rng: init_params(model, rng, batch_size, audio_dim),
+        jax.random.PRNGKey(0))

@@ -443,10 +443,14 @@ def main(argv=None):
         pipeline = load_pipeline_config(FLAGS.config_path)
         model = builder.build(pipeline.multi_modal_model,
                               is_training=False)
-        params = init_params(model, jax.random.PRNGKey(0))
         if FLAGS.checkpoint_dir:
+            # Restore needs no template (restore_raw): skip the random
+            # init entirely — it costs a full 120M-param compile+compute
+            # on the device only to be discarded.
             raw = CheckpointManager(FLAGS.checkpoint_dir).restore_raw()
             params = raw["params"]
+        else:
+            params = init_params(model, jax.random.PRNGKey(0))
         mesh = None
         n_dev = FLAGS.data_parallelism or len(jax.devices())
         if n_dev > 1:

@@ -12,13 +12,11 @@ import os
 
 from absl import app, flags
 
-import jax
-
 from mint_tpu.config.schema import load_pipeline_config
 from mint_tpu.data import pipeline as data_pipeline
 from mint_tpu.eval.evaluator import Evaluator
 from mint_tpu.models import builder
-from mint_tpu.models.fact import init_params
+from mint_tpu.models.fact import abstract_params
 from mint_tpu.train.checkpoint import CheckpointManager
 from mint_tpu.train.controller import Controller
 from mint_tpu.train.trainer import TrainState
@@ -47,6 +45,12 @@ flags.DEFINE_integer("steps_bucket", 128,
                      "decode-batch shapes, so saved floats may differ "
                      "from --steps_bucket=0 within XLA fusion tolerance "
                      "(metrics are batching-invariant, tests/test_eval).")
+flags.DEFINE_bool("reload_dataset_per_pass", False,
+                  "Re-read the eval tfrecords for every checkpoint pass "
+                  "instead of caching the parsed corpus after the first "
+                  "(only needed if eval files are appended to while a "
+                  "continuous eval is running; the re-read costs the "
+                  "full corpus parse per checkpoint).")
 # Unused flags kept for sweep compatibility (reference evaluator.py:36-41).
 flags.DEFINE_float("initial_learning_rate", 0.1, "UNUSED FLAG.")
 flags.DEFINE_float("weight_decay", None, "UNUSED FLAG.")
@@ -84,9 +88,13 @@ def evaluate():
 
     evaluator = Evaluator(model, dataset, metrics=metrics,
                           output_dir=FLAGS.output_dir, steps=FLAGS.steps,
-                          steps_bucket=FLAGS.steps_bucket or None)
+                          steps_bucket=FLAGS.steps_bucket or None,
+                          cache_examples=not FLAGS.reload_dataset_per_pass)
 
-    params = init_params(model, jax.random.PRNGKey(0))
+    # Abstract template only: every eval pass restores real params from a
+    # checkpoint (restore_raw needs no template), so materializing a
+    # random 120M-param init here would be pure discarded work.
+    params = abstract_params(model)
     state = TrainState(step=0, params=params, opt_state=None)
     manager = CheckpointManager(FLAGS.model_dir, max_to_keep=5)
     controller = Controller(

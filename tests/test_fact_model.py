@@ -172,3 +172,20 @@ def test_first_n_out_truncation_exact(small_model):
         np.testing.assert_allclose(np.asarray(out_trunc),
                                    np.asarray(out_full[:, :eff]),
                                    rtol=0, atol=1e-6)
+
+
+def test_abstract_params_matches_init(small_model):
+    """abstract_params must return the exact shape/dtype skeleton of
+    init_params without materializing anything — it is the restore
+    template for the eval and serving CLIs (a stale skeleton would make
+    orbax restore into wrong shapes or silently re-materialize)."""
+    from mint_tpu.models.fact import abstract_params
+
+    model, params = small_model
+    abstract = abstract_params(model, batch_size=2)
+    flat_real, tree_real = jax.tree_util.tree_flatten(params)
+    flat_abs, tree_abs = jax.tree_util.tree_flatten(abstract)
+    assert tree_real == tree_abs
+    for r, a in zip(flat_real, flat_abs):
+        assert isinstance(a, jax.ShapeDtypeStruct)
+        assert a.shape == r.shape and a.dtype == r.dtype

@@ -138,6 +138,34 @@ class TestEvaluator:
         assert np.load(tmp_path / "motion0_audio0.npy").shape[0] == 19
         assert np.load(tmp_path / "long_audio0.npy").shape[0] == 29
 
+    def test_callable_corpus_cached_across_passes(self, tiny_model,
+                                                  tmp_path):
+        """Continuous eval runs one pass per checkpoint; the eval corpus
+        is a fixed file set, so the dataset factory should be drained
+        ONCE and the parsed examples reused instead of re-paying the
+        corpus read+parse per checkpoint.  cache_examples=False opts
+        back into a fresh drain per pass."""
+        model, params = tiny_model
+        calls = []
+
+        def factory():
+            calls.append(1)
+            return self._dataset(n_clips=2)
+
+        ev = Evaluator(model, factory, output_dir=str(tmp_path / "a"),
+                       steps=5)
+        ev.evaluate(params)
+        ev.evaluate(params)
+        assert len(calls) == 1  # cached after the first pass
+        assert len(os.listdir(tmp_path / "a")) == 2
+
+        calls.clear()
+        ev = Evaluator(model, factory, output_dir=str(tmp_path / "b"),
+                       steps=5, cache_examples=False)
+        ev.evaluate(params)
+        ev.evaluate(params)
+        assert len(calls) == 2  # factory re-invoked per pass
+
     def test_steps_bucket_quantization_is_exact(self, tiny_model, tmp_path):
         """steps_bucket shares one compiled decoder across nearby audio
         lengths by zero-padding the audio tail and trimming per clip —
