@@ -85,6 +85,42 @@ def main():
     }))
 
 
+def _run_attempt(cmd, env, cwd, timeout_s):
+    """Run one child attempt, streaming its stderr live while capturing
+    it.  Returns ``(returncode, stderr_text, hung)`` — `hung` means the
+    child neither exited nor could be waited on within `timeout_s` and
+    was killed.  The deadline exists because a downed TPU tunnel makes
+    the child HANG (the sitecustomize's PJRT registration blocks at
+    interpreter start — observed for >1 h straight) rather than crash,
+    and a parent blocked on a silent child retries nothing."""
+    import subprocess
+    import sys
+    import threading
+
+    proc = subprocess.Popen(cmd, env=env, cwd=cwd, stderr=subprocess.PIPE)
+    chunks = []
+
+    def drain():
+        assert proc.stderr is not None
+        for raw in proc.stderr:
+            line = raw.decode(errors="replace")
+            chunks.append(line)
+            sys.stderr.write(line)
+            sys.stderr.flush()
+
+    reader = threading.Thread(target=drain, daemon=True)
+    reader.start()
+    hung = False
+    try:
+        proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        hung = True
+        proc.kill()
+        proc.wait()
+    reader.join(timeout=10)
+    return proc.returncode, "".join(chunks), hung
+
+
 def main_with_retry(attempts: int = 3, backoff_s: float = 180.0):
     """The tunneled chip's worker occasionally restarts mid-run
     (observed: FAILED_PRECONDITION / 'TPU worker process crashed'), and
@@ -92,7 +128,6 @@ def main_with_retry(attempts: int = 3, backoff_s: float = 180.0):
     at first use, so an in-process retry would reuse the DEAD backend —
     each attempt therefore runs in a fresh subprocess (fresh backend
     bring-up); this parent only orchestrates and never touches jax."""
-    import subprocess
     import sys
 
     # Only these child-failure signatures are worth a 180 s backoff; a
@@ -106,37 +141,36 @@ def main_with_retry(attempts: int = 3, backoff_s: float = 180.0):
 
     env = dict(os.environ)
     env["MINT_BENCH_CHILD"] = "1"
+    # Per-attempt wall deadline.  A healthy run is well under this even
+    # with a cold compile cache (~10 min compile + 6 x ~31 s timed
+    # decodes); a child that blows it is hung on the tunnel, not slow.
+    attempt_timeout_s = float(
+        os.environ.get("MINT_BENCH_ATTEMPT_TIMEOUT_S", 2400))
     for attempt in range(attempts):
         # Stream the child's stderr live (a 30 s compile+run with a silent
         # parent looks hung) while capturing it for signature matching.
-        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
-                                env=env, cwd=os.path.dirname(
-                                    os.path.abspath(__file__)),
-                                stderr=subprocess.PIPE)
-        chunks = []
-        assert proc.stderr is not None
-        for raw in proc.stderr:
-            line = raw.decode(errors="replace")
-            chunks.append(line)
-            sys.stderr.write(line)
-            sys.stderr.flush()
-        proc.wait()
-        stderr = "".join(chunks)
-        if proc.returncode == 0:
+        rc, stderr, hung = _run_attempt(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout_s=attempt_timeout_s)
+        if rc == 0 and not hung:
             return
         # rc < 0 = killed by a signal: the tunnel runtime SIGKILLs the
         # child when the remote worker drops — no signature reaches
         # stderr, but the failure is exactly the transient kind.  (A
         # deterministic OOM-kill also lands here and burns the retries;
-        # the printed cause makes that diagnosable.)
+        # the printed cause makes that diagnosable.)  A hang past the
+        # attempt deadline is the same tunnel failure presenting as
+        # silence instead of a crash.
         matched = [sig for sig in transient if sig in stderr.lower()]
-        is_transient = proc.returncode < 0 or bool(matched)
+        is_transient = hung or rc < 0 or bool(matched)
         if attempt == attempts - 1 or not is_transient:
-            raise SystemExit(proc.returncode)
-        cause = (f"signal {-proc.returncode}" if proc.returncode < 0
+            raise SystemExit(rc)
+        cause = ("hung past the %.0f s attempt deadline" % attempt_timeout_s
+                 if hung else f"signal {-rc}" if rc < 0
                  else f"matched {matched!r}")
         print(f"# bench attempt {attempt + 1} hit a transient TPU-worker "
-              f"failure (rc={proc.returncode}, {cause}); retrying in "
+              f"failure (rc={rc}, {cause}); retrying in "
               f"{backoff_s:.0f}s in a fresh process", flush=True)
         time.sleep(backoff_s)
 

@@ -1,0 +1,90 @@
+"""bench.py's retry orchestration (the driver's scoreboard artifact).
+
+The tunneled TPU worker fails two ways: the child CRASHES (transient
+signatures on stderr / signal kills) or the child HANGS without output
+(the sitecustomize's PJRT registration blocks at interpreter start
+while the tunnel is down — observed for >1 h straight).  Both must be
+retried in a fresh process; deterministic failures must surface at
+once.  These tests never touch jax.
+"""
+
+import subprocess
+import sys
+import time
+
+import pytest
+
+import bench
+
+
+class TestRunAttempt:
+    def test_clean_exit_streams_and_captures_stderr(self):
+        rc, stderr, hung = bench._run_attempt(
+            [sys.executable, "-c",
+             "import sys; sys.stderr.write('warming up\\n')"],
+            env=None, cwd=None, timeout_s=60)
+        assert rc == 0 and not hung
+        assert "warming up" in stderr
+
+    def test_nonzero_exit_reported(self):
+        rc, stderr, hung = bench._run_attempt(
+            [sys.executable, "-c",
+             "import sys; sys.stderr.write('UNAVAILABLE: socket closed\\n');"
+             "sys.exit(3)"],
+            env=None, cwd=None, timeout_s=60)
+        assert rc == 3 and not hung
+        assert "UNAVAILABLE" in stderr
+
+    def test_hang_is_killed_at_the_deadline(self):
+        t0 = time.perf_counter()
+        rc, stderr, hung = bench._run_attempt(
+            [sys.executable, "-c", "import time; time.sleep(600)"],
+            env=None, cwd=None, timeout_s=2)
+        assert hung
+        assert rc != 0  # killed
+        assert time.perf_counter() - t0 < 30
+
+
+class TestMainWithRetry:
+    def _patch(self, monkeypatch, outcomes):
+        calls = []
+
+        def fake_run_attempt(cmd, env, cwd, timeout_s):
+            calls.append(timeout_s)
+            return outcomes[len(calls) - 1]
+
+        monkeypatch.setattr(bench, "_run_attempt", fake_run_attempt)
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        return calls
+
+    def test_hang_retries_in_fresh_process(self, monkeypatch):
+        calls = self._patch(monkeypatch, [(-9, "", True), (0, "", False)])
+        bench.main_with_retry(attempts=3, backoff_s=0)
+        assert len(calls) == 2
+
+    def test_transient_signature_retries(self, monkeypatch):
+        calls = self._patch(
+            monkeypatch,
+            [(1, "tpu worker process crashed or restarted", False),
+             (0, "", False)])
+        bench.main_with_retry(attempts=3, backoff_s=0)
+        assert len(calls) == 2
+
+    def test_deterministic_failure_fails_fast(self, monkeypatch):
+        calls = self._patch(
+            monkeypatch, [(1, "ModuleNotFoundError: nope", False)])
+        with pytest.raises(SystemExit):
+            bench.main_with_retry(attempts=3, backoff_s=0)
+        assert len(calls) == 1
+
+    def test_attempts_exhausted_raises(self, monkeypatch):
+        calls = self._patch(monkeypatch, [(-9, "", True)] * 3)
+        with pytest.raises(SystemExit):
+            bench.main_with_retry(attempts=3, backoff_s=0)
+        assert len(calls) == 3
+
+    def test_attempt_timeout_env_override(self, monkeypatch):
+        monkeypatch.setenv("MINT_BENCH_ATTEMPT_TIMEOUT_S", "123")
+        calls = self._patch(monkeypatch, [(0, "", False)])
+        bench.main_with_retry(attempts=1, backoff_s=0)
+        assert calls == [123.0]
