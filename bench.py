@@ -18,17 +18,6 @@ import json
 import os
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-# Persistent XLA compilation cache: the 1200-step decode scan is a large
-# program and its first compile dominates bench wall time; repeat runs on
-# the same host hit the cache (shared with every CLI entry point).
-from mint_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
-
-enable_persistent_cache()
-
 REFERENCE_CPU_FRAMES_PER_SEC = 0.53  # measured, see module docstring
 
 BATCH = 40
@@ -36,6 +25,21 @@ STEPS = 1200
 
 
 def main():
+    # All jax work lives in the CHILD process: the parent orchestrator
+    # (main_with_retry) must stay jax-free so it can outlive a dead
+    # backend, and importing this module (e.g. from tests) must not
+    # mutate global jax config.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # Persistent XLA compilation cache: the 1200-step decode scan is a
+    # large program and its first compile dominates bench wall time;
+    # repeat runs on the same host hit the cache (shared with every CLI
+    # entry point).
+    from mint_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from mint_tpu.config.schema import load_pipeline_config
     from mint_tpu.models.fact import FACT, init_params
     from mint_tpu.infer.decoder import infer_auto_regressive
@@ -93,11 +97,18 @@ def _run_attempt(cmd, env, cwd, timeout_s):
     the child HANG (the sitecustomize's PJRT registration blocks at
     interpreter start — observed for >1 h straight) rather than crash,
     and a parent blocked on a silent child retries nothing."""
+    import signal
     import subprocess
     import sys
     import threading
 
-    proc = subprocess.Popen(cmd, env=env, cwd=cwd, stderr=subprocess.PIPE)
+    # New session so the deadline kill can take out the WHOLE tree: a
+    # child-spawned helper (e.g. a tunnel/PJRT subprocess) would survive
+    # a plain proc.kill(), keep the stderr pipe open, and can keep
+    # holding the single-tenant TPU — making every retry hit the same
+    # failure.
+    proc = subprocess.Popen(cmd, env=env, cwd=cwd, stderr=subprocess.PIPE,
+                            start_new_session=True)
     chunks = []
 
     def drain():
@@ -114,9 +125,17 @@ def _run_attempt(cmd, env, cwd, timeout_s):
     try:
         proc.wait(timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        hung = True
-        proc.kill()
-        proc.wait()
+        # The child may have exited exactly at the deadline (wait() can
+        # raise before reaping a just-finished child): re-poll before
+        # declaring a hang, so a completed run isn't re-executed (the
+        # scoreboard contract is ONE printed JSON line).
+        if proc.poll() is None:
+            hung = True
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait()
     reader.join(timeout=10)
     return proc.returncode, "".join(chunks), hung
 
@@ -164,11 +183,17 @@ def main_with_retry(attempts: int = 3, backoff_s: float = 180.0):
         # silence instead of a crash.
         matched = [sig for sig in transient if sig in stderr.lower()]
         is_transient = hung or rc < 0 or bool(matched)
-        if attempt == attempts - 1 or not is_transient:
-            raise SystemExit(rc)
         cause = ("hung past the %.0f s attempt deadline" % attempt_timeout_s
                  if hung else f"signal {-rc}" if rc < 0
-                 else f"matched {matched!r}")
+                 else f"matched {matched!r}" if matched
+                 else "no transient signature on stderr")
+        if attempt == attempts - 1 or not is_transient:
+            # The cause must reach stderr even (especially) for the
+            # DECISIVE failure — a silent SystemExit after killing a
+            # 40-minute-silent child is undiagnosable.
+            print(f"# bench attempt {attempt + 1} failed (rc={rc}, "
+                  f"{cause}); giving up", flush=True)
+            raise SystemExit(rc)
         print(f"# bench attempt {attempt + 1} hit a transient TPU-worker "
               f"failure (rc={rc}, {cause}); retrying in "
               f"{backoff_s:.0f}s in a fresh process", flush=True)

@@ -50,7 +50,10 @@ class Evaluator:
         scripts/exp_eval_corpus_cache.py — but proportional to corpus
         size and cold-cache I/O).  Pass False to re-invoke the factory
         every pass (e.g. if eval tfrecords are appended to while a
-        continuous eval is running).
+        continuous eval is running).  Re-iterable non-callables (lists,
+        containers with __iter__) honor the flag the same way; true
+        one-shot iterators are always cached since a second drain would
+        silently yield an empty corpus.
 
         With `mesh` (a jax.sharding.Mesh), decode batches are sharded over
         the mesh's data axis — multi-chip generation; clip buckets are
@@ -123,9 +126,14 @@ class Evaluator:
                     "target": (np.asarray(batch["target"])[i]
                                if "target" in batch else None),
                 })
-        # Non-callable datasets are ALWAYS cached (a one-shot iterator
-        # would re-drain empty); callables honor cache_examples.
-        if self.cache_examples or not callable(self.dataset):
+        # One-shot ITERATORS (iter(x) is x) are always cached — a second
+        # drain would silently yield an empty corpus.  Everything
+        # re-iterable (callables, lists, custom __iter__ containers)
+        # honors cache_examples, so the opt-out really does re-read a
+        # dataset that may have grown between passes.
+        one_shot = (not callable(self.dataset)
+                    and iter(self.dataset) is self.dataset)
+        if self.cache_examples or one_shot:
             self._cache = examples
         return examples
 

@@ -44,6 +44,37 @@ class TestRunAttempt:
         assert rc != 0  # killed
         assert time.perf_counter() - t0 < 30
 
+    def test_hang_kill_takes_out_grandchildren(self):
+        """The deadline kill must take the WHOLE process tree: a
+        child-spawned helper that survived a plain kill() would keep the
+        stderr pipe open and can keep holding the single-tenant TPU,
+        making every retry hit the same failure."""
+        import os
+
+        rc, stderr, hung = bench._run_attempt(
+            [sys.executable, "-c",
+             "import subprocess, sys, os, time\n"
+             "sys.stderr.write('PID %d\\n' % os.getpid())\n"
+             "sys.stderr.flush()\n"
+             "subprocess.Popen([sys.executable, '-c',"
+             " 'import time; time.sleep(600)'])\n"
+             "time.sleep(600)"],
+            env=None, cwd=None, timeout_s=3)
+        assert hung
+        pgid = int(stderr.split("PID", 1)[1].split()[0])
+        # start_new_session makes the child the process-group leader;
+        # after the kill the whole group must be gone.
+        deadline = time.perf_counter() + 15
+        while time.perf_counter() < deadline:
+            try:
+                os.killpg(pgid, 0)
+            except ProcessLookupError:
+                return  # whole tree dead
+            time.sleep(0.2)
+        import signal
+        os.killpg(pgid, signal.SIGKILL)  # cleanup before failing
+        raise AssertionError("process group survived the deadline kill")
+
 
 class TestMainWithRetry:
     def _patch(self, monkeypatch, outcomes):

@@ -166,6 +166,27 @@ class TestEvaluator:
         ev.evaluate(params)
         assert len(calls) == 2  # factory re-invoked per pass
 
+    def test_reiterable_honors_cache_opt_out(self, tiny_model, tmp_path):
+        """A re-iterable container with cache_examples=False is re-drained
+        per pass (it may have grown between passes); a true one-shot
+        iterator is always cached — re-draining it would silently yield
+        an empty corpus."""
+        model, params = tiny_model
+        data = list(self._dataset(n_clips=1))
+        ev = Evaluator(model, data, output_dir=str(tmp_path / "grow"),
+                       steps=5, cache_examples=False)
+        ev.evaluate(params)
+        data.extend(self._dataset(n_clips=2))  # corpus grew: clips 0,1
+        ev.evaluate(params)
+        assert len(os.listdir(tmp_path / "grow")) == 2
+
+        it = self._dataset(n_clips=2)  # generator: one-shot iterator
+        ev = Evaluator(model, it, output_dir=str(tmp_path / "oneshot"),
+                       steps=5, cache_examples=False)
+        ev.evaluate(params)
+        ev.evaluate(params)  # must reuse the cache, not re-drain empty
+        assert len(os.listdir(tmp_path / "oneshot")) == 2
+
     def test_steps_bucket_quantization_is_exact(self, tiny_model, tmp_path):
         """steps_bucket shares one compiled decoder across nearby audio
         lengths by zero-padding the audio tail and trimming per clip —
