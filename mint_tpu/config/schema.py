@@ -492,6 +492,30 @@ _TRANSPARENT_WRAPPERS = {
     (EvalConfig, "eval_metric"): EvalConfig,
 }
 
+# Oneof groups per containing dataclass (reference .proto `oneof`
+# blocks).  protobuf semantics: SETTING a oneof member CLEARS its
+# siblings — `text_format.Merge` of an override that switches a oneof
+# to a different member replaces the base's member, it does not leave
+# both set.  Without this, an override switching e.g. the LR schedule
+# was silently ignored (`which()` probes members in fixed order and
+# found the base's member first).  EvalMetric's members live here under
+# EvalConfig because the dataclasses flatten that wrapper
+# (_TRANSPARENT_WRAPPERS keeps the merge walk typed through it).
+_ONEOF_GROUPS = (
+    (LearningRateConfig, ("constant_learning_rate",
+                          "exponential_decay_learning_rate",
+                          "manual_step_learning_rate",
+                          "cosine_decay_learning_rate")),
+    (ModalityModelConfig, ("transformer", "mlp", "conv2d")),
+    (CrossModalModelConfig, ("transformer", "mlp")),
+    (MultiModalModelConfig, ("fact_model",)),
+    (DataModalityConfig, ("general_modality",)),
+    (EvalConfig, ("motion_prediction_metrics",
+                  "motion_generation_metrics")),
+)
+_ONEOF_BY_MEMBER = {(dc, member): members
+                    for dc, members in _ONEOF_GROUPS for member in members}
+
 
 def _merge_msg(base: Msg, override: Msg, dc_type=None) -> None:
     """Recursive merge with protobuf ``text_format.Merge`` semantics:
@@ -504,6 +528,14 @@ def _merge_msg(base: Msg, override: Msg, dc_type=None) -> None:
     collapse a multi-occurrence field with replace().
     """
     for key, value in override.items():
+        # Oneof: before merging a member, clear its SIBLINGS from the
+        # base (protobuf Merge replaces the active member; merging the
+        # SAME member merges field-by-field as usual).
+        group = _ONEOF_BY_MEMBER.get((dc_type, key)) if dc_type else None
+        if group is not None:
+            for sibling in group:
+                if sibling != key and sibling in base:
+                    base.remove(sibling)
         existing = base.get(key)
         known, is_list, child_dc = _field_info(dc_type, key)
         repeated = ((is_list if known else False)

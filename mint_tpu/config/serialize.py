@@ -21,11 +21,32 @@ from typing import Any, List
 from mint_tpu.config import schema as S
 
 
-def _fmt_scalar(value: Any) -> str:
-    # Shares the parser's formatter: unquoted enum identifiers, escaped
-    # strings — quoted enums would be rejected by protobuf text_format.
-    from mint_tpu.config.textproto import _format_scalar
-    return _format_scalar(value)
+# String-typed dataclass fields that are ENUMS in the reference protos
+# (dataset.proto BERTMaskType/WindowType, model.proto CrossModalConcatDim/
+# Preprocess, train.proto CheckpointType).  Only these may serialize
+# unquoted: protobuf text_format rejects quoted enum identifiers AND
+# rejects unquoted values for genuine string fields — an ALL_CAPS
+# heuristic would emit `name: AIST` for a string field named "AIST",
+# which the reference's config_util could not parse back.
+_ENUM_FIELDS = {
+    (S.DatasetConfig, "window_type"),
+    (S.DatasetConfig, "bert_mask_type"),
+    (S.CrossModalModelConfig, "cross_modal_concat_dim"),
+    (S.CrossModalModelConfig, "preprocess"),
+    (S.TrainConfig, "fine_tune_checkpoint_type"),
+}
+
+
+def _fmt_scalar(value: Any, enum: bool = False) -> str:
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, str):
+        if enum:
+            return value  # bare identifier; quoted enums are rejected
+        return '"%s"' % value.replace("\\", "\\\\").replace('"', '\\"')
+    if isinstance(value, float):
+        return repr(value)
+    return str(value)
 
 
 def _emit_dataclass(obj, name: str, lines: List[str], indent: int) -> None:
@@ -89,7 +110,8 @@ def _emit_fields(obj, lines: List[str], indent: int) -> None:
         else:
             if value == getattr(defaults, f.name, None):
                 continue
-            lines.append(f"{pad}{f.name}: {_fmt_scalar(value)}")
+            enum = (type(obj), f.name) in _ENUM_FIELDS
+            lines.append(f"{pad}{f.name}: {_fmt_scalar(value, enum=enum)}")
 
 
 def pipeline_to_text(pipeline: S.PipelineConfig) -> str:

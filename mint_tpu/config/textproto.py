@@ -65,6 +65,10 @@ class Msg:
                 return
         self._fields.append((key, value))
 
+    def remove(self, key: str) -> None:
+        """Remove every occurrence of `key` (oneof-sibling clearing)."""
+        self._fields = [(k, v) for k, v in self._fields if k != key]
+
     def to_dict(self) -> Any:
         out: dict = {}
         for k, v in self._fields:
@@ -185,7 +189,13 @@ def _format_scalar(v: Any) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, str):
-        # Enum identifiers are ALL_CAPS with underscores; leave unquoted.
+        # HEURISTIC: a Msg tree carries no field types, so ALL_CAPS
+        # strings are assumed to be enum identifiers and left unquoted.
+        # A genuine string VALUE matching ^[A-Z][A-Z0-9_]*$ would also
+        # be emitted bare — schema-aware serialization
+        # (mint_tpu/config/serialize.py) uses its _ENUM_FIELDS registry
+        # instead and is the product path for config snapshots; dumps()
+        # here is for Msg-level debugging/round-trips only.
         if re.match(r"^[A-Z][A-Z0-9_]*$", v):
             return v
         return '"%s"' % v.replace("\\", "\\\\").replace('"', '\\"')

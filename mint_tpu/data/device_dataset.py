@@ -92,6 +92,27 @@ class DeviceDataset:
                 "must be filtered out, like from_files does)")
         if (np.diff(offsets) < 0).any() or (offsets < 0).any():
             raise ValueError("offsets must be non-negative and sorted")
+        # Upper bound too: an OVERSIZED counts entry would let the
+        # sampler draw a window straddling the NEXT sequence (or clamped
+        # duplicate rows at the corpus tail) — silently corrupted
+        # windows, no error.  Both stores share offsets/counts, so they
+        # must be row-aligned.
+        n_rows = int(np.shape(motion)[0])
+        if int(np.shape(audio)[0]) != n_rows:
+            raise ValueError(
+                f"motion ({n_rows} rows) and audio "
+                f"({int(np.shape(audio)[0])} rows) stores must be "
+                "row-aligned: they share offsets/counts")
+        span = max(self.motion_span, self.audio_input_len)
+        ends = np.concatenate([offsets[1:], [n_rows]])
+        max_counts = ends - offsets - span + 1
+        if (counts > max_counts).any():
+            bad = int(np.argmax(counts > max_counts))
+            raise ValueError(
+                f"counts[{bad}] = {int(counts[bad])} exceeds the "
+                f"{int(max_counts[bad])} window start(s) that fit in "
+                f"sequence {bad} (rows {int(offsets[bad])}.."
+                f"{int(ends[bad])}, window span {span})")
         data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
         self.shard_over_data = bool(shard_over_data) and data_size > 1
         if not self.shard_over_data:

@@ -72,10 +72,29 @@ def parse_example(record: bytes) -> Dict[str, np.ndarray]:
     return out
 
 
+class SequenceTooShort(ValueError):
+    """A training example cannot yield one full window.
+
+    Raised by :func:`fact_preprocessing`; the training stream DROPS such
+    examples (with one warning), matching the native loader
+    (native/mint_loader.cc ``MakeWindow`` returns false) and
+    ``DeviceDataset.from_files`` — a raise that killed the whole input
+    stream made the python backend fail on corpora the other two
+    backends train on."""
+
+
 def fact_preprocessing(example: Dict, modality_to_params: Dict,
                        is_training: bool,
                        rng: np.random.Generator) -> Dict:
-    """Window sampling for FACT (inputs_util.py:59-105), NumPy edition."""
+    """Window sampling for FACT (inputs_util.py:59-105), NumPy edition.
+
+    Degenerate-data handling matches the native loader
+    (native/mint_loader.cc ``MakeWindow``): an example whose motion or
+    audio is shorter than one window raises :class:`SequenceTooShort`
+    (the stream drops it), a sampled window starting past the end of the
+    audio likewise, and a window whose audio TAIL runs short is
+    zero-padded to ``audio_input_length``.
+    """
     motion = np.asarray(example["motion_sequence"], np.float32)
     motion_seq_length = motion.shape[0]
     motion_input_length = modality_to_params["motion"]["input_length"]
@@ -87,14 +106,23 @@ def fact_preprocessing(example: Dict, modality_to_params: Dict,
     motion = np.pad(motion, [[0, 0], [6, 0]])
 
     if is_training:
+        audio = np.asarray(example["audio_sequence"], np.float32)
         window_size = max(motion_input_length,
                           motion_target_shift + motion_target_length,
                           audio_input_length)
         hi = motion_seq_length - window_size + 1
-        if hi <= 0:
-            raise ValueError(
-                f"sequence too short: {motion_seq_length} < {window_size}")
+        if hi <= 0 or audio.shape[0] < window_size:
+            raise SequenceTooShort(
+                f"sequence too short for one window: motion "
+                f"{motion_seq_length}, audio {audio.shape[0]} < "
+                f"window {window_size}")
         start = int(rng.integers(0, hi))
+        if start >= audio.shape[0]:
+            # Motion much longer than audio and the sampled start lies
+            # past the audio's end — drop, like the native loader.
+            raise SequenceTooShort(
+                f"sampled window start {start} is past the audio end "
+                f"{audio.shape[0]}")
     else:
         start = 0
 
@@ -105,8 +133,14 @@ def fact_preprocessing(example: Dict, modality_to_params: Dict,
         out["target"] = motion[start + motion_target_shift:
                                start + motion_target_shift
                                + motion_target_length]
-        audio = np.asarray(example["audio_sequence"], np.float32)
-        out["audio_input"] = audio[start:start + audio_input_length]
+        audio_window = audio[start:start + audio_input_length]
+        if audio_window.shape[0] < audio_input_length:
+            # Audio tail shorter than the audio window (audio shorter
+            # than motion): zero-pad, like the native loader.
+            audio_window = np.pad(
+                audio_window,
+                [[0, audio_input_length - audio_window.shape[0]], [0, 0]])
+        out["audio_input"] = audio_window
     else:
         out["audio_input"] = np.asarray(example["audio_sequence"],
                                         np.float32)
@@ -147,23 +181,56 @@ def _batch(examples: List[Dict]) -> Dict[str, np.ndarray]:
 
 
 class _Prefetcher:
-    """Background-thread prefetch (reference: ds.prefetch(1))."""
+    """Background-thread prefetch (reference: ds.prefetch(1)).
+
+    Host-side batch prefetch; :class:`mint_tpu.data.prefetch.
+    DevicePrefetcher` is the device-placement variant and chains to this
+    one's :meth:`close` via its own close()."""
 
     def __init__(self, it: Iterator, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._it = it
         self._done = object()
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         try:
             for item in self._it:
-                self._q.put(item)
+                # Timeout-put so a consumer that abandoned the stream
+                # (close()) unblocks the producer instead of leaving it
+                # parked on a full queue holding shard file handles.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:  # surface in the consumer, not stderr
             self._error = e
         finally:
-            self._q.put(self._done)
+            if not self._stop.is_set():
+                self._q.put(self._done)
+
+    def close(self):
+        """Stop the producer thread and release its upstream iterator."""
+        self._stop.set()
+        try:  # unblock a producer parked on a full queue
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
+        close_upstream = getattr(self._it, "close", None)
+        if callable(close_upstream):
+            close_upstream()
+        try:  # a straggling consumer sees StopIteration, not a hang
+            self._q.put_nowait(self._done)
+        except queue.Full:
+            pass
 
     def __iter__(self):
         return self
@@ -222,6 +289,8 @@ def create_input(train_eval_config, dataset_config: DatasetConfig,
                     yield record
             readers = alive
 
+    warned_short = [False]
+
     def example_stream():
         if is_training:
             while True:  # .repeat()
@@ -232,8 +301,20 @@ def create_input(train_eval_config, dataset_config: DatasetConfig,
                         [files[i] for i in order]):
                     ex = parse_example(record)
                     if use_fact:
-                        ex = fact_preprocessing(ex, modality_to_params,
-                                                True, rng)
+                        try:
+                            ex = fact_preprocessing(ex, modality_to_params,
+                                                    True, rng)
+                        except SequenceTooShort as e:
+                            # Drop, matching the native loader and
+                            # DeviceDataset.from_files.
+                            if not warned_short[0]:
+                                warned_short[0] = True
+                                import logging
+                                logging.getLogger(__name__).warning(
+                                    "dropping training example(s) too "
+                                    "short for one window (first: %s); "
+                                    "further drops are silent", e)
+                            continue
                     buf.append(ex)
                     if len(buf) >= 100:
                         idx = int(rng.integers(0, len(buf)))

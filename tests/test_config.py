@@ -213,3 +213,65 @@ def test_override_appends_repeated_scalar_through_flattened_wrapper(
     mm = pipeline.eval_config.motion_generation_metrics
     assert mm is not None
     assert mm.pck_thresholds == [0.05, 0.1]
+
+
+def test_override_switches_oneof_member():
+    """protobuf Merge semantics: setting a oneof member CLEARS its
+    siblings.  An override switching the LR schedule oneof to a member
+    that sorts later in which()'s fixed probe order must actually take
+    effect (it used to leave both members set, and which() found the
+    base's member first — the override silently did nothing)."""
+    p = load_pipeline_config(
+        CONFIG,
+        config_override="train_config { learning_rate {"
+                        " cosine_decay_learning_rate {"
+                        " total_steps: 100 } } }")
+    lr = p.train_config.learning_rate
+    assert lr.which() == "cosine_decay_learning_rate"
+    assert lr.manual_step_learning_rate is None
+    assert lr.cosine_decay_learning_rate.total_steps == 100
+
+    # Same member: merge field-by-field, not replace.
+    p2 = load_pipeline_config(
+        CONFIG,
+        config_override="train_config { learning_rate {"
+                        " manual_step_learning_rate {"
+                        " initial_learning_rate: 0.5 } } }")
+    lr2 = p2.train_config.learning_rate
+    assert lr2.which() == "manual_step_learning_rate"
+    assert lr2.manual_step_learning_rate.initial_learning_rate == 0.5
+    assert lr2.manual_step_learning_rate.schedule  # base's schedule kept
+
+
+def test_override_switches_modality_model_oneof(tmp_path):
+    """ModalityModel's {transformer, mlp} oneof through a repeated
+    parent: overriding the whole modality list entry's model."""
+    path = tmp_path / "base.config"
+    path.write_text(
+        "multi_modal_model { fact_model { modality {"
+        " feature_name: \"motion\" model { transformer {"
+        " hidden_size: 64 } } } } }\n")
+    p = load_pipeline_config(str(path))
+    m = p.multi_modal_model.fact_model.modality[0].model[0]
+    assert m.which() == "transformer"
+
+
+def test_serialize_quotes_allcaps_string_fields(tmp_path):
+    """A genuine STRING field whose value happens to be ALL_CAPS must be
+    quoted in the snapshot (protobuf text_format rejects a bare
+    identifier for a string field); enum fields stay bare."""
+    from mint_tpu.config.serialize import pipeline_to_text, \
+        save_pipeline_config
+
+    pipeline = load_pipeline_config(CONFIG)
+    pipeline.train_dataset.name = "AIST"
+    text = pipeline_to_text(pipeline)
+    assert 'name: "AIST"' in text
+    # Enum field values remain bare identifiers.
+    pipeline.train_dataset.window_type = "BEGINNING"
+    text = pipeline_to_text(pipeline)
+    assert "window_type: BEGINNING" in text
+    assert 'window_type: "BEGINNING"' not in text
+    # And the snapshot still round-trips.
+    path = save_pipeline_config(pipeline, str(tmp_path))
+    assert load_pipeline_config(path) == pipeline

@@ -261,3 +261,101 @@ def test_batch_rejects_ragged_features():
     with _pytest.raises(ValueError, match="ragged"):
         _batch([{"audio_input": np.zeros((5, 3))},
                 {"audio_input": np.zeros((7, 3))}])
+
+
+def test_training_stream_drops_short_sequences(tmp_path):
+    """An example too short for one window is DROPPED from the training
+    stream (with a warning), matching the native loader and
+    DeviceDataset.from_files — it used to raise and kill the whole
+    pipeline on corpora the other two backends train on."""
+    import copy as _copy
+    pipeline = load_pipeline_config(CONFIG)
+    ds_cfg = _copy.deepcopy(pipeline.train_dataset)
+    ds_cfg.data_files = str(tmp_path / "shard-*")
+
+    with TFRecordWriter(str(tmp_path / "shard-0")) as w:
+        for t_motion, t_audio in ((100, 100), (300, 600), (300, 600)):
+            ex = _fake_sequence(t_motion=t_motion, t_audio=t_audio)
+            w.write(encode_example({
+                "motion_sequence": ex["motion_sequence"],
+                "motion_sequence_shape":
+                    np.asarray(ex["motion_sequence"].shape, np.int64),
+                "motion_name": [ex["motion_name"].encode()],
+                "audio_sequence": ex["audio_sequence"],
+                "audio_sequence_shape":
+                    np.asarray(ex["audio_sequence"].shape, np.int64),
+                "audio_name": [ex["audio_name"].encode()],
+            }))
+
+    tc = _copy.deepcopy(pipeline.train_config)
+    tc.batch_size = 2
+    it = create_input(tc, ds_cfg, is_training=True, seed=0, prefetch=False)
+    batch = next(iter(it))  # must not raise
+    assert batch["motion_input"].shape == (2, 120, 225)
+
+
+def test_training_audio_tail_zero_padded():
+    """Audio shorter than motion: the window's audio tail is zero-padded
+    to audio_input_length, exactly like the native loader
+    (mint_loader.cc MakeWindow) — a short row used to crash batching."""
+    from mint_tpu.data.pipeline import fact_preprocessing
+
+    params = _modality_params()
+    # motion 300, audio 295: window 240 -> starts up to 60; start > 55
+    # leaves a short audio tail.
+    ex = _fake_sequence(t_motion=300, t_audio=295)
+    rng = np.random.default_rng(0)
+    padded_seen = False
+    for _ in range(50):
+        out = fact_preprocessing(dict(ex), params, is_training=True,
+                                 rng=rng)
+        assert out["audio_input"].shape == (240, 35)
+        tail = out["audio_input"][-1]
+        if np.all(tail == 0):
+            padded_seen = True
+    assert padded_seen  # at least one sampled window needed the pad
+
+
+def test_training_stream_drops_audio_shorter_than_window(tmp_path):
+    """Audio shorter than the WINDOW drops the example (native-loader
+    parity: mint_loader.cc line 'ex.t_audio < window')."""
+    from mint_tpu.data.pipeline import SequenceTooShort, fact_preprocessing
+
+    params = _modality_params()
+    ex = _fake_sequence(t_motion=300, t_audio=100)  # 100 < window 240
+    import pytest as _pytest
+    with _pytest.raises(SequenceTooShort):
+        fact_preprocessing(dict(ex), params, is_training=True,
+                           rng=np.random.default_rng(0))
+
+
+def test_prefetcher_close_unblocks_producer():
+    """close() must stop a producer parked on a full queue and close the
+    upstream generator — abandoning an eval pass used to leave the
+    thread blocked forever holding shard file handles."""
+    from mint_tpu.data.pipeline import _Prefetcher
+    import threading as _threading
+
+    released = []
+
+    def producer():
+        try:
+            i = 0
+            while True:
+                yield {"i": i}
+                i += 1
+        finally:
+            released.append(True)  # generator .close() reached us
+
+    it = _Prefetcher(producer(), depth=2)
+    assert next(it)["i"] == 0
+    it.close()
+    assert released == [True]
+    # The producer thread exits promptly.
+    assert not it._thread.is_alive() or (
+        it._thread.join(timeout=5) or not it._thread.is_alive())
+    # A straggling consumer stops instead of hanging.
+    import pytest as _pytest
+    with _pytest.raises(StopIteration):
+        while True:
+            next(it)

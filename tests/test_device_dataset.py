@@ -297,3 +297,37 @@ def test_controller_with_sampler_trains_and_checkpoints(tmp_path):
     assert ctl.global_step == 15
     assert np.isfinite(metrics["loss"])
     ctl.close()
+
+
+def test_direct_construction_validation():
+    """Direct constructions must fail loudly on inconsistent tables —
+    a bad counts/offsets entry makes the on-device sampler silently
+    read windows straddling sequence boundaries (dynamic_slice clamps,
+    so there is no runtime error to catch)."""
+    import pytest
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    # Two sequences of 30 rows each; spans: motion max(8, 8+2)=10,
+    # audio 16 -> span 16 -> max valid counts = 30 - 16 + 1 = 15.
+    motion = np.zeros((60, 225), np.float32)
+    audio = np.zeros((60, 35), np.float32)
+    offsets = np.array([0, 30])
+
+    def build_ds(counts, offs=offsets, audio_arr=audio):
+        return DeviceDataset(motion, audio_arr, offs, np.asarray(counts),
+                             motion_input_len=8, target_len=2,
+                             target_shift=8, audio_input_len=16,
+                             batch_size=4, mesh=mesh)
+
+    build_ds([15, 15])  # exactly full: valid
+
+    with pytest.raises(ValueError, match="counts entry must be >= 1"):
+        build_ds([0, 15])
+    with pytest.raises(ValueError, match="sorted"):
+        build_ds([15, 15], offs=np.array([30, 0]))
+    with pytest.raises(ValueError, match="exceeds"):
+        build_ds([16, 15])  # window 15..31 straddles sequence 1
+    with pytest.raises(ValueError, match="exceeds"):
+        build_ds([15, 16])  # window past the corpus tail
+    with pytest.raises(ValueError, match="row-aligned"):
+        build_ds([15, 15], audio_arr=np.zeros((59, 35), np.float32))
