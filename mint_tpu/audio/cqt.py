@@ -160,7 +160,6 @@ def _cqt_band_groups(sr: int, fmin: float, n_bins: int,
     for row_lo in range(0, n_bins, bins_per_octave):
         row_hi = min(n_bins, row_lo + bins_per_octave)
         block = np.abs(fft_basis[row_lo:row_hi])
-        col_lo, col_hi = 0, block.shape[1]
         # Per-row L1-energy band, then the union across the octave.
         lo, hi = block.shape[1], 0
         for row in block:
@@ -282,11 +281,25 @@ def chroma_cqt(y: np.ndarray, sr: int, hop: int = 512, n_chroma: int = 12,
     C = cqt_magnitude(y, sr, hop=hop, tuning=tuning,
                       n_bins=n_octaves * bins_per_octave,
                       bins_per_octave=bins_per_octave)
+    return fold_cq_to_chroma(C, n_octaves, n_chroma, bins_per_octave)
+
+
+def fold_cq_to_chroma(C: np.ndarray, n_octaves: int, n_chroma: int,
+                      bins_per_octave: int) -> np.ndarray:
+    """Fold [frames, n_octaves*bins_per_octave] |CQT| to [frames,
+    n_chroma] per librosa ``filters.cq_to_chroma``.
+
+    Two rolls in the librosa basis: (a) the axis-1 BIN-CENTERING roll
+    ``np.roll(M, -(n_merge // 2), axis=1)`` ("roll it left to center on
+    the target bin") — pitch class c sums bins {c*m - m//2, ...,
+    c*m + m - 1 - m//2} (for 36→12: {3c-1, 3c, 3c+1}), equivalent to
+    rolling the CQT bins RIGHT by m//2 before a contiguous fold; (b) the
+    axis-0 base-C alignment roll, which is 0 for the C1 basis
+    (``round(mod(hz_to_midi(C1), 12) * n_chroma/12) = 0``).  An earlier
+    revision implemented only (b) and folded [c*m, (c+1)*m) — off by one
+    1/3-semitone bin vs librosa."""
     n_merge = bins_per_octave // n_chroma
-    # Fold per librosa filters.cq_to_chroma: pitch class c sums bins
-    # [c*m, (c+1)*m) in each octave with NO centering offset — with
-    # fmin=None the basis is C1 (midi 24), so the C-alignment roll is
-    # round(mod(24, 12) * n_chroma/12) = 0.
+    C = np.roll(C, n_merge // 2, axis=1)
     C = C.reshape(C.shape[0], n_octaves, n_chroma, n_merge)
     return C.sum(axis=(1, 3))
 

@@ -148,6 +148,16 @@ def infer_auto_regressive(model: FACT, params,
             f"{steps + audio_seq - 1}; clamp steps with max_steps() first "
             "(the reference breaks out of its Python loop at this point)")
 
+    if dispatch_chunk is not None and dispatch_chunk <= 0:
+        # 0 = "no chunking" (one dispatch); a negative value is a bug at
+        # the call site.  Without this, n = min(chunk, remaining) never
+        # advanced `done` and the loop below spun forever.
+        if dispatch_chunk < 0:
+            raise ValueError(
+                f"dispatch_chunk must be positive or None/0 (= one "
+                f"dispatch); got {dispatch_chunk}")
+        dispatch_chunk = None
+
     # Hoist position-independent embeddings out of the scan.
     audio_emb_full = _embed(model, params, "audio", audio_input)
     motion_emb = _embed(model, params, "motion", motion_input)

@@ -137,7 +137,12 @@ def euler_from_rotmat(rotmats: jax.Array) -> jax.Array:
     r01, r02 = m[..., 0, 1], m[..., 0, 2]
     sy = jnp.sqrt(r00 * r00 + r10 * r10)
     gimbal = sy < 1e-6
-    x = jnp.where(gimbal, jnp.arctan2(-r01, -r02 * jnp.sign(r20)),
+    # Gimbal branch (tfg): x = atan2(-sign(r20)*r01, -sign(r20)*r02) —
+    # the sign applies to BOTH arguments.  For y = +pi/2 (r20 = -1)
+    # r01 = sin(x-z), r02 = cos(x-z): atan2(r01, r02) = x-z; applying
+    # the sign to only one argument negated x for this lock.
+    sign = jnp.sign(r20)
+    x = jnp.where(gimbal, jnp.arctan2(-sign * r01, -sign * r02),
                   jnp.arctan2(r21, r22))
     y = jnp.arctan2(-r20, sy)
     z = jnp.where(gimbal, jnp.zeros_like(x), jnp.arctan2(r10, r00))

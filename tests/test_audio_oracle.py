@@ -445,7 +445,7 @@ def test_cqt_recursive_vs_single_resolution_measured_bound():
 
     # End-to-end: the delta that actually reaches the 35-dim features.
     def fold(C):
-        return C.reshape(C.shape[0], n_oct, 12, 3).sum(axis=(1, 3))
+        return cqt_lib.fold_cq_to_chroma(C, n_oct, 12, 36)
 
     d_cens = np.abs(cqt_lib.cens_from_chroma(fold(single))
                     - cqt_lib.cens_from_chroma(fold(rec)))
@@ -533,3 +533,33 @@ def test_resample_filter_design_properties():
     fn = np.arange(len(H)) / n_fft * 2.0
     stop = H[fn > (cutoff / up) * 1.35]
     assert 20 * np.log10(stop.max()) < -120.0, 20 * np.log10(stop.max())
+
+
+def test_chroma_fold_matches_cq_to_chroma_basis():
+    """Pin fold_cq_to_chroma against an independent transcription of
+    librosa.filters.cq_to_chroma's BASIS construction (repeat -> tile ->
+    axis-1 centering roll by -(n_merge//2); the axis-0 base-C roll is 0
+    for the C1 basis): chroma = M @ C.  Regression for the fold that
+    omitted the centering roll (every pitch class off by one
+    1/3-semitone bin)."""
+    from mint_tpu.audio import cqt as cqt_lib
+
+    n_chroma, bpo, n_oct = 12, 36, 7
+    n_input = n_oct * bpo
+    n_merge = bpo // n_chroma
+    # librosa filters.cq_to_chroma (librosa 0.8.1):
+    m = np.repeat(np.eye(n_chroma), n_merge, axis=1)          # [12, 36]
+    m = np.tile(m, n_oct)[:, :n_input]                        # [12, 252]
+    m = np.roll(m, -(n_merge // 2), axis=1)  # center on the target bin
+    C = np.abs(np.random.default_rng(11).standard_normal((50, n_input)))
+    want = C @ m.T
+    got = cqt_lib.fold_cq_to_chroma(C, n_oct, n_chroma, bpo)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # Spot-check the mapping: energy at bin 3c+1 (class center) and the
+    # wrap bin 35 -> class 0.
+    e = np.zeros((1, n_input))
+    e[0, 3 * 5 + 1] = 1.0   # center bin of class 5
+    assert cqt_lib.fold_cq_to_chroma(e, n_oct, n_chroma, bpo)[0, 5] == 1.0
+    e = np.zeros((1, n_input))
+    e[0, 35] = 1.0          # top bin of octave 0 wraps into class 0
+    assert cqt_lib.fold_cq_to_chroma(e, n_oct, n_chroma, bpo)[0, 0] == 1.0

@@ -83,6 +83,15 @@ def test_chunked_dispatch_is_identical(tiny_model):
         got = infer_auto_regressive(model, params, inputs, steps=steps,
                                     dispatch_chunk=chunk)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(whole))
+    # 0 = "one dispatch" (it used to spin forever: n = min(0, rest)
+    # never advanced); negative is a call-site bug and raises.
+    got0 = infer_auto_regressive(model, params, inputs, steps=steps,
+                                 dispatch_chunk=0)
+    np.testing.assert_array_equal(np.asarray(got0), np.asarray(whole))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dispatch_chunk"):
+        infer_auto_regressive(model, params, inputs, steps=steps,
+                              dispatch_chunk=-1)
 
 
 def test_max_steps_protocol(tiny_model):

@@ -72,6 +72,22 @@ class TestEuler:
         ref = Rotation.from_matrix(R).as_euler("xyz")
         np.testing.assert_allclose(ours, ref, atol=1e-4)
 
+    def test_gimbal_lock_both_hemispheres(self):
+        """Regression: the gimbal branch applied sign(r20) to only one
+        arctan2 argument, so y = +pi/2 locks returned a sign-flipped x.
+        The returned angles must RECONSTRUCT the input matrix (x and z
+        are individually unrecoverable at the lock; their resolution
+        with z = 0 must still compose back to R)."""
+        for y_lock in (np.pi / 2, -np.pi / 2):
+            for x_angle in (0.3, -0.7, 2.1):
+                for z_angle in (0.0, 0.5, -1.2):
+                    R = Rotation.from_euler(
+                        "xyz", [x_angle, y_lock, z_angle]).as_matrix()
+                    x, y, z = np.asarray(
+                        rot.euler_from_rotmat(R[None]))[0]
+                    R2 = Rotation.from_euler("xyz", [x, y, z]).as_matrix()
+                    np.testing.assert_allclose(R2, R, atol=1e-5)
+
 
 class TestClosestRotmat:
     def test_projects_noisy_rotations(self):
