@@ -101,6 +101,11 @@ class GenerationService:
         self.request_timeout = request_timeout
         self.motion_dim = (
             model.config.cross_modal_model.output_layer.out_dim)
+        # Audio width comes from the config (the AIST++ frontend's 35
+        # when unset) — request validation must use the same rule the
+        # decode program is built with, not a hardcoded 35.
+        self.audio_dim = (
+            model.config.modality_by_name("audio").feature_dim or 35)
         self.stats = {"requests": 0, "batches": 0, "generated_frames": 0}
         self._stats_lock = threading.Lock()
         self._q: "queue.Queue[_Request]" = queue.Queue()
@@ -128,8 +133,16 @@ class GenerationService:
             # slow-compile host; the flag/server owner sets the budget.
             timeout = self.request_timeout
         # Validate per-request so one bad request cannot fail the bucket
-        # it would have been co-batched with.
+        # it would have been co-batched with.  Audio belongs here too,
+        # not only in the HTTP layer: a direct API caller's 1-D or
+        # wrong-width audio would otherwise blow up inside the worker's
+        # per-bucket batch and 400 every co-batched request.
         motion_seq = self.model.motion_seq_length
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim != 2 or audio.shape[1] != self.audio_dim:
+            raise ValueError(
+                f"audio features must be [T, {self.audio_dim}], got "
+                f"{list(audio.shape)}")
         if seed is not None:
             seed = np.asarray(seed, np.float32)
             if seed.shape != (motion_seq, self.motion_dim):
@@ -138,8 +151,7 @@ class GenerationService:
                     f"{self.motion_dim}], got {list(seed.shape)}")
         if self._fatal:
             raise RuntimeError(self._fatal)
-        req = _Request(np.asarray(audio, np.float32), seed,
-                       steps or self.default_steps)
+        req = _Request(audio, seed, steps or self.default_steps)
         self._bump("requests")
         self._q.put(req)
         # Poll in short slices instead of one long wait: a dead worker
@@ -205,9 +217,12 @@ class GenerationService:
         if item is None:
             return []
         batch = [item]
-        deadline = time.time() + self.batch_window
+        # Monotonic, like generate()'s request deadline: a backwards NTP
+        # step must not stretch the batching window (every queued
+        # request would stall in here for the step size).
+        deadline = time.monotonic() + self.batch_window
         while len(batch) < self.max_batch:
-            remaining = deadline - time.time()
+            remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
             try:
@@ -370,10 +385,8 @@ def _make_handler(service: GenerationService):
                 arrays = _load_npy_stream(body)
                 audio = arrays[0]
                 seed = arrays[1] if len(arrays) > 1 else None
-                if audio.ndim != 2 or audio.shape[1] != 35:
-                    raise ValueError(
-                        f"audio features must be [T, 35], got "
-                        f"{audio.shape}")
+                # Audio/seed shape validation lives in generate() (the
+                # config-derived widths), surfacing as ValueError -> 400.
                 qs = parse_qs(parsed.query)
                 steps = int(qs.get("steps", [service.default_steps])[0])
                 out = service.generate(audio, seed=seed, steps=steps)
@@ -444,11 +457,13 @@ def main(argv=None):
         model = builder.build(pipeline.multi_modal_model,
                               is_training=False)
         if FLAGS.checkpoint_dir:
-            # Restore needs no template (restore_raw): skip the random
-            # init entirely — it costs a full 120M-param compile+compute
-            # on the device only to be discarded.
-            raw = CheckpointManager(FLAGS.checkpoint_dir).restore_raw()
-            params = raw["params"]
+            # Params-only restore against an abstract template: skips
+            # both the random 120M-param init (compile + compute on the
+            # device, discarded) and the saved Adam slots (~2/3 of the
+            # checkpoint's bytes, never used when serving).
+            from mint_tpu.models.fact import abstract_params
+            params = CheckpointManager(
+                FLAGS.checkpoint_dir).restore_params(abstract_params(model))
         else:
             params = init_params(model, jax.random.PRNGKey(0))
         mesh = None

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+from typing import Optional
 
 import numpy as np
 from absl import app, flags, logging
@@ -56,9 +57,16 @@ def joints_of(motion: np.ndarray, model: SMPLModel) -> np.ndarray:
 
 
 def extract_feature(motion: np.ndarray, model: SMPLModel,
-                    mode: str) -> np.ndarray:
-    """[1, T, 225] -> feature vector (calculate_scores.py:154-170)."""
-    joints = joints_of(motion, model)
+                    mode: str,
+                    joints: Optional[np.ndarray] = None) -> np.ndarray:
+    """[1, T, 225] -> feature vector (reference API,
+    calculate_scores.py:154-170).
+
+    Convenience wrapper mirroring the reference's per-mode function;
+    pass precomputed `joints` to share one FK run across both feature
+    families (main() below does — the SMPL forward pass dominates)."""
+    if joints is None:
+        joints = joints_of(motion, model)
     if mode == "kinetic":
         return extract_kinetic_features(joints)
     return extract_manual_features(joints)
@@ -88,9 +96,11 @@ def main(_):
         if motion.ndim == 2:
             motion = motion[None]
         motion = motion[:, FLAGS.seed_frames:]
-        joints = joints_of(motion, model)
-        result_features["kinetic"].append(extract_kinetic_features(joints))
-        result_features["manual"].append(extract_manual_features(joints))
+        joints = joints_of(motion, model)  # one FK run, both families
+        result_features["kinetic"].append(
+            extract_feature(motion, model, "kinetic", joints=joints))
+        result_features["manual"].append(
+            extract_feature(motion, model, "manual", joints=joints))
         if FLAGS.audio_cache_dir:
             from mint_tpu.eval.beat_align import clip_beat_alignment
             # {motion_name}_{audio_name}.npy -> audio_name (last token).

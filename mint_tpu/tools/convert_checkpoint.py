@@ -182,13 +182,16 @@ def main(argv=None):
     def run(_):
         from mint_tpu.config.schema import load_pipeline_config
         from mint_tpu.models import builder
-        from mint_tpu.models.fact import init_params
+        from mint_tpu.models.fact import abstract_params
         from mint_tpu.train.checkpoint import CheckpointManager
         from mint_tpu.train.trainer import TrainState
 
         pipeline = load_pipeline_config(FLAGS.config_path)
         model = builder.build(pipeline.multi_modal_model, is_training=False)
-        template = init_params(model, jax.random.PRNGKey(0))
+        # Abstract template: the converter only reads leaf shapes/
+        # dtypes, so materializing a random 120M-param init here
+        # (compile + compute on the default device) was pure waste.
+        template = abstract_params(model)
         params, report = convert_tf_checkpoint(FLAGS.tf_checkpoint,
                                                template)
         for key, why in sorted(report.items()):

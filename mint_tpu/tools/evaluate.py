@@ -92,8 +92,9 @@ def evaluate():
                           cache_examples=not FLAGS.reload_dataset_per_pass)
 
     # Abstract template only: every eval pass restores real params from a
-    # checkpoint (restore_raw needs no template), so materializing a
-    # random 120M-param init here would be pure discarded work.
+    # checkpoint (a params-only partial restore against this skeleton —
+    # checkpoint.py::restore_params), so materializing a random
+    # 120M-param init here would be pure discarded work.
     params = abstract_params(model)
     state = TrainState(step=0, params=params, opt_state=None)
     manager = CheckpointManager(FLAGS.model_dir, max_to_keep=5)

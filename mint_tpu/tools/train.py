@@ -143,10 +143,19 @@ def train():
             process_id=FLAGS.process_id)
     pipeline = load_pipeline_config(FLAGS.config_path)
     train_config = pipeline.train_config
+    # Chief-only host-side outputs: in --distributed runs every process
+    # shares the model_dir (that is what makes the collective checkpoint
+    # work), so per-process writes of the config snapshot and the
+    # metrics/TensorBoard streams would interleave appends from N hosts
+    # into one metrics.jsonl and stack N identical curves.  Orbit/TF
+    # likewise summarize only on the chief.  Checkpointing is NOT gated:
+    # orbax saves are collective across processes.
+    is_chief = jax.process_index() == 0
     # Snapshot the effective config into the model dir (reference
     # config_util.save_pipeline_config, config_util.py:75-89).
-    from mint_tpu.config.serialize import save_pipeline_config
-    save_pipeline_config(pipeline, FLAGS.model_dir)
+    if is_chief:
+        from mint_tpu.config.serialize import save_pipeline_config
+        save_pipeline_config(pipeline, FLAGS.model_dir)
 
     mesh = mesh_lib.make_mesh(
         data=FLAGS.data_parallelism or None,
@@ -206,7 +215,8 @@ def train():
         trainer=trainer, train_iter=sharded_iter, state=state,
         steps_per_loop=FLAGS.steps_per_loop,
         checkpoint_manager=manager,
-        summary_dir=os.path.join(FLAGS.model_dir, "train"),
+        summary_dir=(os.path.join(FLAGS.model_dir, "train")
+                     if is_chief else None),
         summary_interval=FLAGS.summary_interval,
         fuse_loop=True,
         train_sampler=train_sampler)

@@ -66,14 +66,41 @@ class CheckpointManager:
 
     def restore_raw(self, step: Optional[int] = None) -> Any:
         """Restore without a template -> dict of the saved state fields
-        (e.g. {'step', 'params', 'opt_state'}).  Used by the evaluator,
-        which has no optimizer state to mirror (reference evaluator.py:64-67
-        restores model weights + global_step only)."""
+        (e.g. {'step', 'params', 'opt_state'}).  Reads the WHOLE saved
+        state including optimizer slots; eval-side callers that only
+        need the weights should use :meth:`restore_params`, which skips
+        the Adam state (~2x the params bytes)."""
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         return self._mgr.restore(step)
+
+    def restore_params(self, params_template: Any,
+                       step: Optional[int] = None) -> Any:
+        """Restore ONLY the model params (reference evaluator.py:64-67
+        restores model weights + global_step, never the optimizer).
+
+        A partial PyTree restore against the step directory: the Adam
+        state is ~2/3 of a TrainState checkpoint's bytes (m + v), so a
+        continuous eval that full-restored per checkpoint paid 3x the
+        necessary read I/O — minutes per pass on a slow store.  The
+        template (abstract shapes/dtypes suffice, e.g.
+        ``models.fact.abstract_params``) names which subtree to read.
+        Uses a standalone checkpointer so it works on a manager that
+        has also SAVED in this process (the manager's handler registry
+        binds the save-time args type)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        target = {"params": jax.tree_util.tree_map(
+            lambda x: ocp.utils.to_shape_dtype_struct(x), params_template)}
+        path = os.path.join(self.directory, str(step), "default")
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ck:
+            out = ck.restore(path, args=ocp.args.PyTreeRestore(
+                item=target, partial_restore=True))
+        return out["params"]
 
     def wait_until_finished(self) -> None:
         self._mgr.wait_until_finished()
@@ -104,7 +131,13 @@ class CheckpointManager:
             steps = [s for s in all_steps if s not in seen]
             for s in steps:
                 seen.add(s)
-                deadline = time.time() + timeout
                 yield s
+                # Re-arm AFTER the consumer's eval pass returns control:
+                # tf.train.checkpoints_iterator counts only time spent
+                # WAITING toward the timeout, not time the consumer
+                # spends evaluating — an eval pass longer than the
+                # timeout must not end a continuous eval while training
+                # is still producing checkpoints.
+                deadline = time.time() + timeout
             if not steps:
                 time.sleep(poll_seconds)

@@ -66,20 +66,27 @@ class Controller:
 
         # Resume from the latest checkpoint if one exists (Orbit restores on
         # startup when a checkpoint manager is passed).
+        self._restored_step: Optional[int] = None
         if checkpoint_manager is not None and state is not None:
             if checkpoint_manager.latest_step() is not None:
                 self.state = self._restore(state)
+                self._restored_step = int(self.state.step)
                 log.info("restored checkpoint at step %d",
                          int(self.state.step))
 
     def _restore(self, template: TrainState,
                  step: Optional[int] = None) -> TrainState:
-        """Full restore for training; params-only (raw) restore when the
-        template has no optimizer state (the evaluator side)."""
+        """Full restore for training; params-ONLY restore when the
+        template has no optimizer state (the evaluator side) — skipping
+        the saved Adam slots, ~2/3 of the checkpoint's bytes."""
         if getattr(template, "opt_state", None) is None:
-            raw = self.checkpoint_manager.restore_raw(step)
-            return TrainState(step=raw.get("step", 0),
-                              params=raw["params"], opt_state=None)
+            if step is None:
+                step = self.checkpoint_manager.latest_step()
+            params = self.checkpoint_manager.restore_params(
+                template.params, step=step)
+            # The controller always saves at step == global_step, so the
+            # directory label IS the state's step.
+            return TrainState(step=step, params=params, opt_state=None)
         return self.checkpoint_manager.restore(template, step=step)
 
     @property
@@ -197,7 +204,15 @@ class Controller:
         results: Dict[str, float] = {}
         for step in self.checkpoint_manager.checkpoints_iterator(
                 timeout, poll_seconds):
-            self.state = self._restore(self.state, step=step)
+            # __init__ already restored the latest checkpoint, and the
+            # iterator's FIRST yield is that same step — skip the second
+            # read of the same checkpoint (minutes on a slow store).
+            # _restored_step (not state.step) is the marker: a template
+            # whose step value happens to equal a new checkpoint's label
+            # was never actually restored.
+            if self._restored_step != step:
+                self.state = self._restore(self.state, step=step)
+                self._restored_step = step
             results = self.evaluator.evaluate(self.state)
             self.metrics_writer.write(step, results)
         return results

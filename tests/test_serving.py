@@ -374,3 +374,29 @@ class TestMeshServing:
             assert np.isfinite(out).all()
         finally:
             svc.close()
+
+
+class TestDirectAPIValidation:
+    """generate() must validate AUDIO per-request too (not only the HTTP
+    layer): a malformed array reaching the worker's per-bucket batch
+    fails every co-batched request."""
+
+    def test_1d_audio_rejected(self, service):
+        with pytest.raises(ValueError, match="audio features"):
+            service.generate(np.zeros(40, np.float32), steps=4)
+
+    def test_wrong_width_rejected(self, service):
+        with pytest.raises(ValueError, match="audio features"):
+            service.generate(np.zeros((40, 7), np.float32), steps=4)
+
+    def test_width_follows_model_config(self):
+        """Validation uses the config-derived audio width, not a
+        hardcoded 35 (a non-AIST frontend config used to warm up with
+        its real width and then 400 every valid request)."""
+        model, params = _tiny_model()
+        svc = GenerationService(model, params, default_steps=4)
+        try:
+            assert svc.audio_dim == (
+                model.config.modality_by_name("audio").feature_dim or 35)
+        finally:
+            svc.close()

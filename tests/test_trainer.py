@@ -401,3 +401,115 @@ def test_accumulation_applies_every_k():
     after2 = [np.asarray(x)
               for x in jax.tree_util.tree_leaves(state.params)]
     assert any(not np.array_equal(a, b) for a, b in zip(p0, after2))
+
+
+def test_checkpoints_iterator_timeout_excludes_consumer_time(tmp_path):
+    """tf.train.checkpoints_iterator counts only time spent WAITING
+    toward the timeout: an eval pass LONGER than the timeout must not
+    end a continuous eval while checkpoints keep appearing (the
+    deadline used to be armed before yield, so a slow consumer expired
+    it)."""
+    import time as _time
+
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=1,
+                            max_to_keep=5)
+    mgr.save(1, state._replace(step=jnp.asarray(1)), force=True)
+    mgr.wait_until_finished()
+
+    it = mgr.checkpoints_iterator(timeout=0.5, poll_seconds=0.05)
+    assert next(it) == 1
+    # Consumer "evaluates" for longer than the whole timeout, during
+    # which a new checkpoint lands.
+    _time.sleep(1.0)
+    mgr.save(2, state._replace(step=jnp.asarray(2)), force=True)
+    mgr.wait_until_finished()
+    assert next(it) == 2  # used to StopIteration here
+    mgr.close()
+
+
+def test_restore_params_skips_optimizer_state(tmp_path):
+    """Params-only partial restore: the evaluator/serving side never
+    needs the Adam slots (~2/3 of the checkpoint bytes).  Works against
+    an ABSTRACT template and on a manager that has saved in-process."""
+    from mint_tpu.models.fact import abstract_params
+
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+    assert state.opt_state is not None  # the test needs slots to skip
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
+    mgr.save(7, state._replace(step=jnp.asarray(7)), force=True)
+    mgr.wait_until_finished()
+
+    restored = mgr.restore_params(abstract_params(model))
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_continuous_eval_restores_each_checkpoint_once(tmp_path):
+    """The controller restores the latest checkpoint at construction;
+    evaluate_continuously's first yield is that same step and must not
+    read it a second time — but a checkpoint that appears when NOTHING
+    was restored at boot (e.g. a converted step-0 checkpoint) must
+    still be restored."""
+    from mint_tpu.train.checkpoint import CheckpointManager as CM
+    from mint_tpu.train.trainer import TrainState
+
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    full = trainer.init_state(params)
+
+    restores = []
+    orig = CM.restore_params
+
+    class Counting(CM):
+        def restore_params(self, template, step=None):
+            restores.append(step if step is not None
+                            else self.latest_step())
+            return orig(self, template, step=step)
+
+    class Evaluator:
+        def __init__(self):
+            self.steps = []
+
+        def evaluate(self, state):
+            self.steps.append(int(state.step))
+            return {"n": float(len(self.steps))}
+
+    # Case 1: checkpoint exists at boot -> one restore total.
+    mgr = Counting(str(tmp_path / "a"), max_to_keep=3)
+    mgr.save(5, full._replace(step=jnp.asarray(5)), force=True)
+    mgr.wait_until_finished()
+    ev = Evaluator()
+    ctl = Controller(evaluator=ev, state=TrainState(
+        step=0, params=params, opt_state=None), checkpoint_manager=mgr)
+    ctl.evaluate_continuously(timeout=0.3, poll_seconds=0.05)
+    assert ev.steps == [5]
+    assert restores == [5]  # boot restore only, not re-read per yield
+    ctl.close()
+
+    # Case 2: NO checkpoint at boot; a step-0 checkpoint appears.  The
+    # template's step value (0) must not be mistaken for "restored".
+    restores.clear()
+    mgr2 = Counting(str(tmp_path / "b"), max_to_keep=3)
+    ev2 = Evaluator()
+    ctl2 = Controller(evaluator=ev2, state=TrainState(
+        step=0, params=params, opt_state=None), checkpoint_manager=mgr2)
+    mgr2.save(0, full._replace(step=jnp.asarray(0)), force=True)
+    mgr2.wait_until_finished()
+    ctl2.evaluate_continuously(timeout=0.3, poll_seconds=0.05)
+    assert ev2.steps == [0]
+    assert restores == [0]  # restored despite step label == template step
+    ctl2.close()
