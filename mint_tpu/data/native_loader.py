@@ -38,13 +38,32 @@ def _load() -> Optional[ctypes.CDLL]:
         if _build_error is not None:
             return None
         src = os.path.join(_NATIVE_DIR, "mint_loader.cc")
-        stale = (not os.path.exists(_LIB_PATH)
-                 or (os.path.exists(src)
-                     and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
-        if stale:
+
+        def _stale():
+            return (not os.path.exists(_LIB_PATH)
+                    or (os.path.exists(src)
+                        and os.path.getmtime(src)
+                        > os.path.getmtime(_LIB_PATH)))
+
+        if _stale():
+            # Inter-PROCESS build lock (the module _lock only covers
+            # threads): concurrent first-use builds (multi-process
+            # training, pytest next to a train job) otherwise write the
+            # same .so and one dlopens a torn file — latching
+            # _build_error and silently demoting backend=auto to the
+            # Python pipeline.
+            import fcntl
+            lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
             try:
-                subprocess.run(["make", "-C", _NATIVE_DIR],
-                               check=True, capture_output=True, text=True)
+                with open(lock_path, "w") as lock_f:
+                    fcntl.flock(lock_f, fcntl.LOCK_EX)
+                    try:
+                        if _stale():  # another process may have built
+                            subprocess.run(["make", "-C", _NATIVE_DIR],
+                                           check=True, capture_output=True,
+                                           text=True)
+                    finally:
+                        fcntl.flock(lock_f, fcntl.LOCK_UN)
             except (subprocess.CalledProcessError, OSError) as e:
                 _build_error = getattr(e, "stderr", str(e)) or str(e)
                 return None
@@ -98,6 +117,13 @@ class NativeTrainLoader:
                  audio_input_len: int, motion_dim_raw: int = 219,
                  audio_dim: int = 35, shuffle_buffer: int = 100,
                  seed: int = 0, cache_bytes: Optional[int] = None):
+        if batch_size < 1 or shuffle_buffer < 1:
+            # shuffle_buffer=0 deadlocks the C++ reader (Enqueue's
+            # buffer-has-room predicate is never true) and batch_size=0
+            # yields an immediate spurious end-of-data — fail loudly.
+            raise ValueError(
+                f"batch_size ({batch_size}) and shuffle_buffer "
+                f"({shuffle_buffer}) must both be >= 1")
         lib = _load()
         if lib is None:
             raise RuntimeError(

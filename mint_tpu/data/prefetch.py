@@ -6,8 +6,10 @@ transfer is slow relative to the step (e.g. a tunneled chip, or big
 batches over PCIe), serializing these costs real throughput.  This
 wrapper runs the loader + transfer in a daemon thread, keeping `depth`
 batches already resident on device, so the accelerator never waits on
-the host (the standard JAX input-pipeline recipe; the reference gets the
-equivalent from tf.data's prefetch-to-device).
+the host (the standard JAX input-pipeline recipe; the reference gets
+the equivalent from ``dataset.prefetch(1)`` at reference
+``mint/core/inputs.py:122`` — under ``TPUStrategy``, tf.data's
+prefetch-to-device).
 """
 
 from __future__ import annotations
@@ -35,9 +37,17 @@ class DevicePrefetcher:
 
     def _run(self):
         try:
-            for item in self._upstream:
-                if self._stop.is_set():
-                    return
+            upstream = iter(self._upstream)
+            while not self._stop.is_set():
+                # Check stop BEFORE advancing the upstream: after a
+                # close() observed inside the put-retry loop, one more
+                # blocking next(upstream) (a slow/cold native-loader
+                # read) is what used to push close()'s join(5) into its
+                # leak path.
+                try:
+                    item = next(upstream)
+                except StopIteration:
+                    break
                 placed = self._place(item)
                 while not self._stop.is_set():
                     try:
@@ -75,6 +85,10 @@ class DevicePrefetcher:
 
     def close(self):
         self._stop.set()
+        # A straggling consumer must see StopIteration, not block
+        # forever on an empty queue the stopped producer will never
+        # feed (the producer skips its _DONE marker once stop is set).
+        self._done = True
         # Drain so the producer unblocks, then join.
         try:
             while True:

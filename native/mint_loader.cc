@@ -269,8 +269,15 @@ class Loader {
       Window w;
       {
         std::unique_lock<std::mutex> lock(mu_);
+        // tf.data shuffle(buffer) parity (reference inputs.py:70): the
+        // buffer FILLS before anything is yielded and is kept full
+        // between pops, so every sample is drawn uniformly from a full
+        // buffer — popping as soon as one element existed made the
+        // first ~buffer examples come out in near file order.  On
+        // exhaustion (stop_) the remaining buffer drains.
         cv_not_empty_.wait(lock, [this] {
-          return stop_ || !buffer_.empty();
+          return stop_ ||
+                 buffer_.size() >= size_t(cfg_.shuffle_buffer);
         });
         if (stop_ && buffer_.empty()) return 0;
         // shuffle(100): pop a random element.

@@ -75,25 +75,37 @@ def run_cli(stage, module, argv, timeout=3600, kill_after=None):
     else:
         # Event-driven preemption: wait for the first checkpoint to land
         # (first-compile latency on the tunneled chip is variable), let it
-        # train a bit past it, then SIGKILL mid-flight.
-        proc = subprocess.Popen(cmd, cwd=ROOT, env=env,
-                                stdout=subprocess.DEVNULL,
-                                stderr=subprocess.DEVNULL)
-        deadline = time.time() + kill_after
-        model_dir = f"{ROOT}/model"
-        while time.time() < deadline and proc.poll() is None:
-            # Wait for a real interval checkpoint (the controller also
-            # saves step 1 on bring-up, which is too early to be a
-            # meaningful preemption point).
-            ckpts = [d for d in os.listdir(model_dir)
-                     if d.isdigit() and int(d) >= CKPT_INTERVAL] \
-                if os.path.isdir(model_dir) else []
-            if ckpts:
-                time.sleep(20)  # keep training past the checkpoint
-                break
-            time.sleep(5)
-        proc.send_signal(signal.SIGKILL)
-        proc.wait()
+        # train a bit past it, then SIGKILL mid-flight.  Output goes to a
+        # log file (not DEVNULL) and a self-exit is distinguished from
+        # our kill: a process that CRASHED before the kill used to be
+        # recorded as ok="killed", and the stage only failed much later
+        # with the diagnostics already discarded.
+        log_path = f"{ROOT}/{stage}.log"
+        with open(log_path, "w") as log_f:
+            proc = subprocess.Popen(cmd, cwd=ROOT, env=env,
+                                    stdout=log_f, stderr=log_f)
+            deadline = time.time() + kill_after
+            model_dir = f"{ROOT}/model"
+            while time.time() < deadline and proc.poll() is None:
+                # Wait for a real interval checkpoint (the controller
+                # also saves step 1 on bring-up, which is too early to
+                # be a meaningful preemption point).
+                ckpts = [d for d in os.listdir(model_dir)
+                         if d.isdigit() and int(d) >= CKPT_INTERVAL] \
+                    if os.path.isdir(model_dir) else []
+                if ckpts:
+                    time.sleep(20)  # keep training past the checkpoint
+                    break
+                time.sleep(5)
+            exited_itself = proc.poll() is not None
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+        if exited_itself and proc.returncode != 0:
+            with open(log_path) as f:
+                out = f.read()
+            log(f"STAGE {stage} CRASHED before the planned kill "
+                f"(rc={proc.returncode})\n{out[-3000:]}")
+            sys.exit(1)
         ok, tail = "killed", "SIGKILL after first checkpoint"
     dt = time.time() - t0
     SUMMARY["stages"].setdefault(stage, []).append(
@@ -156,15 +168,23 @@ def main():
     else:
         make_corpus()
 
-    # 1. Preprocess (reference tools/preprocessing.py protocol).
-    done = (os.path.isdir(f"{ROOT}/data")
-            and len(os.listdir(f"{ROOT}/data")) == 40)
-    for split in () if done else ("train", "testval"):
+    # 1. Preprocess (reference tools/preprocessing.py protocol).  Shard
+    # COUNT cannot be the resume check: the sharded writers create all
+    # 20 files per split upfront, so an interrupted run leaves a
+    # complete-looking directory of empty/truncated shards — a
+    # per-split done-marker written only AFTER the CLI succeeds is.
+    for split in ("train", "testval"):
+        marker = f"{ROOT}/data/.{split}_done"
+        if os.path.exists(marker):
+            log(f"preprocess {split}: done-marker exists; skipping")
+            continue
         run_cli("preprocess", "preprocessing", [
             f"--anno_dir={ROOT}/anno", f"--audio_dir={ROOT}/audio",
             f"--audio_cache_dir={ROOT}/cache", f"--split={split}",
             f"--tfrecord_path={ROOT}/data/aist_tfrecord", "--n_shards=20",
         ], timeout=3600)
+        with open(marker, "w") as f:
+            f.write("ok\n")
 
     # 2. Train on the TPU (bf16), flagship config.  First run is SIGKILLED
     # mid-flight after the first checkpoints; the rerun must resume from

@@ -144,3 +144,47 @@ def test_close_with_blocked_producer_keeps_upstream_alive():
     pf.close()
     assert not up.closed  # left alive for the blocked thread
     release.set()
+
+
+def test_next_after_close_stops_instead_of_hanging():
+    """A straggling consumer calling next() after close() must see
+    StopIteration — the stopped producer never queues its done marker,
+    so an un-flagged consumer blocked forever on the empty queue."""
+    import itertools
+    import pytest
+
+    from mint_tpu.data.prefetch import DevicePrefetcher
+
+    pf = DevicePrefetcher(itertools.count(), place=lambda x: x, depth=2)
+    assert next(pf) == 0
+    pf.close()
+    with pytest.raises(StopIteration):
+        next(pf)
+
+
+def test_close_does_not_advance_upstream_again():
+    """Once close() is observed, the producer must not pull one more
+    (possibly slow, blocking) item from the upstream iterator."""
+    import time
+
+    from mint_tpu.data.prefetch import DevicePrefetcher
+
+    pulls = []
+
+    def upstream():
+        i = 0
+        while True:
+            pulls.append(i)
+            yield i
+            i += 1
+
+    pf = DevicePrefetcher(upstream(), place=lambda x: x, depth=1)
+    # Let the producer fill the depth-1 queue and park in its put loop.
+    assert next(pf) == 0
+    time.sleep(0.3)
+    before = len(pulls)
+    pf.close()
+    time.sleep(0.3)
+    # At most the in-flight item; no FURTHER pull after stop was set.
+    assert len(pulls) <= before + 1
+    assert not pf._thread.is_alive()
