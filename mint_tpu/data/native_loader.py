@@ -45,33 +45,49 @@ def _load() -> Optional[ctypes.CDLL]:
                         and os.path.getmtime(src)
                         > os.path.getmtime(_LIB_PATH)))
 
-        if _stale():
+        def _build_locked(force: bool) -> bool:
             # Inter-PROCESS build lock (the module _lock only covers
             # threads): concurrent first-use builds (multi-process
-            # training, pytest next to a train job) otherwise write the
-            # same .so and one dlopens a torn file — latching
-            # _build_error and silently demoting backend=auto to the
-            # Python pipeline.
+            # training, pytest next to a train job) otherwise race on
+            # the same .so.  The Makefile writes to a temp file and
+            # renames atomically, so a reader that skips the lock (its
+            # _stale() probe saw a fresh mtime) can never dlopen a torn
+            # file — the rename either happened or the old complete
+            # library is still in place.
+            global _build_error
             import fcntl
             lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
             try:
                 with open(lock_path, "w") as lock_f:
                     fcntl.flock(lock_f, fcntl.LOCK_EX)
                     try:
-                        if _stale():  # another process may have built
-                            subprocess.run(["make", "-C", _NATIVE_DIR],
+                        if force or _stale():  # another proc may have built
+                            subprocess.run(["make", "-C", _NATIVE_DIR]
+                                           + (["-B"] if force else []),
                                            check=True, capture_output=True,
                                            text=True)
                     finally:
                         fcntl.flock(lock_f, fcntl.LOCK_UN)
+                return True
             except (subprocess.CalledProcessError, OSError) as e:
                 _build_error = getattr(e, "stderr", str(e)) or str(e)
-                return None
+                return False
+
+        if _stale() and not _build_locked(force=False):
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError as e:
-            _build_error = str(e)
-            return None
+            # A torn .so can only predate the atomic-rename Makefile
+            # (an interrupted in-place build from an older checkout).
+            # Rebuild once under the lock before latching the error.
+            if not _build_locked(force=True):
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError as e2:
+                _build_error = str(e2)
+                return None
         lib.mint_loader_open.restype = ctypes.c_void_p
         lib.mint_loader_open.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,

@@ -224,9 +224,15 @@ class _Prefetcher:
         except queue.Empty:
             pass
         self._thread.join(timeout=5)
-        close_upstream = getattr(self._it, "close", None)
-        if callable(close_upstream):
-            close_upstream()
+        if not self._thread.is_alive():
+            # Only close the upstream once the producer has exited: a
+            # generator still executing inside the producer thread
+            # raises ValueError("generator already executing") from
+            # close().  On join timeout we leak the daemon thread
+            # instead (same policy as DevicePrefetcher.close()).
+            close_upstream = getattr(self._it, "close", None)
+            if callable(close_upstream):
+                close_upstream()
         try:  # a straggling consumer sees StopIteration, not a hang
             self._q.put_nowait(self._done)
         except queue.Full:

@@ -95,6 +95,15 @@ class DevicePrefetcher:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        # Wake a consumer that passed the _done check and is already
+        # parked in q.get(): the stopped producer skips its own _DONE
+        # marker, so queue one here.  (If the queue refilled meanwhile,
+        # the parked consumer gets a real item and the NEXT call sees
+        # self._done.)
+        try:
+            self._q.put_nowait(self._DONE)
+        except queue.Full:
+            pass
         self._thread.join(timeout=5)
         if self._thread.is_alive():
             # The producer is still blocked inside next(upstream) (e.g.

@@ -198,9 +198,7 @@ class GenerationService:
         t0 = time.time()
         n = steps or self.default_steps
         audio_len = n + self.model.audio_seq_length - 1
-        audio_dim = (self.model.config.modality_by_name("audio")
-                     .feature_dim or 35)
-        audio = np.zeros((audio_len, audio_dim), np.float32)
+        audio = np.zeros((audio_len, self.audio_dim), np.float32)
         # No timeout cap: boot-time budget is the owner's problem, and
         # a first compile on a cold cache can exceed request_timeout.
         self.generate(audio, steps=n, timeout=float("inf"))

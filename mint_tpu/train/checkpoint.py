@@ -64,18 +64,6 @@ class CheckpointManager:
             lambda x: ocp.utils.to_shape_dtype_struct(x), state_template)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
 
-    def restore_raw(self, step: Optional[int] = None) -> Any:
-        """Restore without a template -> dict of the saved state fields
-        (e.g. {'step', 'params', 'opt_state'}).  Reads the WHOLE saved
-        state including optimizer slots; eval-side callers that only
-        need the weights should use :meth:`restore_params`, which skips
-        the Adam state (~2x the params bytes)."""
-        if step is None:
-            step = self._mgr.latest_step()
-        if step is None:
-            raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        return self._mgr.restore(step)
-
     def restore_params(self, params_template: Any,
                        step: Optional[int] = None) -> Any:
         """Restore ONLY the model params (reference evaluator.py:64-67

@@ -100,10 +100,14 @@ def run_cli(stage, module, argv, timeout=3600, kill_after=None):
             exited_itself = proc.poll() is not None
             proc.send_signal(signal.SIGKILL)
             proc.wait()
-        if exited_itself and proc.returncode != 0:
+        if exited_itself:
+            # Any self-exit — including rc=0 (a budget/flag bug that
+            # finishes training early) — means the SIGKILL never
+            # interrupted anything and the resume leg would silently be
+            # a no-op; recording ok="killed" would be dishonest.
             with open(log_path) as f:
                 out = f.read()
-            log(f"STAGE {stage} CRASHED before the planned kill "
+            log(f"STAGE {stage} EXITED ITSELF before the planned kill "
                 f"(rc={proc.returncode})\n{out[-3000:]}")
             sys.exit(1)
         ok, tail = "killed", "SIGKILL after first checkpoint"

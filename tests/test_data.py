@@ -359,3 +359,24 @@ def test_prefetcher_close_unblocks_producer():
     with _pytest.raises(StopIteration):
         while True:
             next(it)
+
+
+def test_prefetcher_close_skips_generator_close_while_executing():
+    # close() must not call the upstream generator's close() while the
+    # producer thread is still executing inside it (ValueError:
+    # "generator already executing"); it leaks the daemon thread
+    # instead, like DevicePrefetcher.
+    import threading
+    from mint_tpu.data.pipeline import _Prefetcher
+
+    release = threading.Event()
+
+    def wedged():
+        yield {"x": 1}
+        release.wait(30)  # producer stuck inside the generator
+        yield {"x": 2}
+
+    it = _Prefetcher(wedged(), depth=1)
+    next(it)
+    it.close()  # join(5) times out; must NOT raise ValueError
+    release.set()

@@ -188,3 +188,34 @@ def test_close_does_not_advance_upstream_again():
     # At most the in-flight item; no FURTHER pull after stop was set.
     assert len(pulls) <= before + 1
     assert not pf._thread.is_alive()
+
+
+def test_close_wakes_consumer_parked_in_get():
+    # A consumer blocked inside q.get() (it passed the _done check
+    # before close() set it) must see StopIteration, not hang: close()
+    # queues a final _DONE sentinel after draining.
+    import threading
+
+    def one_then_slow():
+        yield {"x": np.zeros(1)}
+        time.sleep(30)  # producer wedged: queue stays empty
+        yield {"x": np.zeros(1)}
+
+    pf = DevicePrefetcher(one_then_slow(), lambda b: b, depth=2)
+    next(pf)
+    result = {}
+
+    def consume():
+        try:
+            next(pf)
+            result["got"] = "item"
+        except StopIteration:
+            result["got"] = "stop"
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.3)  # let the consumer park in q.get()
+    pf.close()
+    t.join(timeout=10)
+    assert not t.is_alive(), "consumer never woke after close()"
+    assert result["got"] == "stop"
