@@ -36,7 +36,9 @@ class Evaluator:
                  dispatch_chunk: Optional[int] = 200,
                  steps_bucket: Optional[int] = None,
                  fold_ln: bool = False,
-                 cache_examples: bool = True):
+                 cache_examples: bool = True,
+                 decode_unroll: Optional[int] = None,
+                 decode_rows: Optional[int] = None):
         """`dataset` is an iterable of batches, or a zero-arg callable
         returning one (for continuous eval, which runs a pass per
         checkpoint — reference re-iterates its tf.data.Dataset).  A plain
@@ -77,6 +79,15 @@ class Evaluator:
         reference metric, which reads only target/output).  Same scheme
         the serving path uses (serving/server.py).
 
+        `decode_unroll` / `decode_rows` override the decoder's scan unroll
+        and final-block query truncation (see
+        decoder.infer_auto_regressive for the exactness notes).  Default
+        None = the decoder defaults; docs/BENCHMARKS.md "f32 scoring
+        decode" records the measured optimum at the f32 scoring protocol
+        (batch 64, 200-step dispatch chunks).  The knobs exist so a
+        dtype/hardware whose optimum differs can set them without
+        touching the decoder.
+
         `fold_ln` folds the pre-LN affines into the adjacent kernels per
         restored checkpoint (mint_tpu/models/fold.py).  Default False:
         the fold is exact, but on TPU v5e the folded program measured 5%
@@ -96,6 +107,8 @@ class Evaluator:
                              if steps_bucket and steps_bucket > 0 else None)
         self.fold_ln = bool(fold_ln)
         self.cache_examples = bool(cache_examples)
+        self.decode_unroll = decode_unroll
+        self.decode_rows = decode_rows
         self._decode_model = model  # replaced per-evaluate when folding
         self._cache: Optional[List[Dict]] = None
 
@@ -220,10 +233,15 @@ class Evaluator:
             audio = jax.device_put(audio, sharding)
         else:
             motion, audio = jnp.asarray(motion), jnp.asarray(audio)
+        decode_kwargs = {}
+        if self.decode_unroll is not None:
+            decode_kwargs["unroll"] = self.decode_unroll
+        if self.decode_rows is not None:
+            decode_kwargs["last_block_rows"] = self.decode_rows
         out = decoder.infer_auto_regressive(
             self._decode_model, params,
             {"motion_input": motion, "audio_input": audio}, steps=n_steps,
-            dispatch_chunk=self.dispatch_chunk)
+            dispatch_chunk=self.dispatch_chunk, **decode_kwargs)
         # Prepend the seed (single_task_evaluator.py:71); drop pad clips.
         full = np.concatenate([np.asarray(motion), np.asarray(out)],
                               axis=1)[:n_real]

@@ -50,14 +50,15 @@ _DECODE_LAST_BLOCK_ROWS = 48
 
 
 def _forward_from_embedded(model: FACT, params, motion_emb: jax.Array,
-                           audio_emb: jax.Array) -> jax.Array:
+                           audio_emb: jax.Array,
+                           last_block_rows: int) -> jax.Array:
     """Forward pass given already-linear-embedded inputs, computing only
-    the first ``_DECODE_LAST_BLOCK_ROWS`` output rows of the final
-    cross-modal block (the AR protocol keeps just frame 0 — exact).
+    the first ``last_block_rows`` output rows of the final cross-modal
+    block (the AR protocol keeps just frame 0 — exact for any value).
 
     motion_emb: [B, motion_seq, hidden]  (linear embedding only, no pos)
     audio_emb:  [B, audio_seq, hidden]
-    Returns [B, min(n_tokens, _DECODE_LAST_BLOCK_ROWS), out_dim].
+    Returns [B, min(n_tokens, last_block_rows), out_dim].
     """
 
     def run(mdl: FACT):
@@ -65,7 +66,7 @@ def _forward_from_embedded(model: FACT, params, motion_emb: jax.Array,
         m = mdl.motion_transformer(m)
         a = mdl.audio_pos_embedding(audio_emb)
         a = mdl.audio_transformer(a)
-        return mdl.cross(m, a, first_n_out=_DECODE_LAST_BLOCK_ROWS)
+        return mdl.cross(m, a, first_n_out=last_block_rows)
 
     return model.apply(params, method=run)
 
@@ -79,10 +80,11 @@ def _embed(model: FACT, params, name: str, x: jax.Array) -> jax.Array:
     return model.apply(params, method=run)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "steps", "unroll"))
+@functools.partial(jax.jit, static_argnames=("model", "steps", "unroll",
+                                             "last_block_rows"))
 def _decode_scan(model: FACT, params, motion_emb: jax.Array,
                  audio_emb_full: jax.Array, start,
-                 steps: int, unroll: int):
+                 steps: int, unroll: int, last_block_rows: int):
     """`steps` decode iterations starting at audio offset `start` (traced,
     so chunks of equal length share one compiled program).  Returns the
     updated embedded motion window and the generated frames
@@ -93,7 +95,8 @@ def _decode_scan(model: FACT, params, motion_emb: jax.Array,
         motion_emb = carry
         audio_emb = jax.lax.dynamic_slice_in_dim(
             audio_emb_full, i, audio_seq, axis=1)
-        out = _forward_from_embedded(model, params, motion_emb, audio_emb)
+        out = _forward_from_embedded(model, params, motion_emb, audio_emb,
+                                     last_block_rows)
         frame = out[:, 0:1, :]  # keep only the first output frame
         # Shift the embedded motion window by one, append the new frame's
         # embedding (linear embedding commutes with the shift — exact).
@@ -109,7 +112,9 @@ def infer_auto_regressive(model: FACT, params,
                           inputs: Dict[str, jax.Array],
                           steps: int = 1200,
                           unroll: int = 8,
-                          dispatch_chunk: int | None = None) -> jax.Array:
+                          dispatch_chunk: int | None = None,
+                          last_block_rows: int = _DECODE_LAST_BLOCK_ROWS,
+                          ) -> jax.Array:
     """Batched AR generation (protocol parity with fact_model.py:103-132).
 
     Args:
@@ -134,6 +139,16 @@ def infer_auto_regressive(model: FACT, params,
         worker can drop executions that run for minutes (observed with
         batch-64 f32 1200-step programs); it also lets a caller interleave
         host work between chunks.
+      last_block_rows: query rows computed in the FINAL cross-modal block
+        (exact in real arithmetic for any value >= 1 — the protocol keeps
+        only row 0 and the math is row-local past the attention K/V;
+        pinned to 1e-6 on CPU f32).  On TPU, different values tile the
+        final block's matmuls differently, so outputs differ at ULP
+        level, which long AR rollouts amplify (measured 0.02 over 100
+        f32 steps with random params) — the same accepted class as the
+        evaluator's batch-composition deltas (docs/E2E.md).  Default 48,
+        the bf16 bench optimum; the f32 scoring path has its own sweep
+        (docs/BENCHMARKS.md "f32 scoring decode").
 
     Returns:
       [B, steps, motion_dim] generated frames.
@@ -164,7 +179,8 @@ def infer_auto_regressive(model: FACT, params,
 
     if dispatch_chunk is None or dispatch_chunk >= steps:
         _, frames = _decode_scan(model, params, motion_emb, audio_emb_full,
-                                 jnp.int32(0), steps, unroll)
+                                 jnp.int32(0), steps, unroll,
+                                 last_block_rows)
     else:
         parts = []
         done = 0
@@ -172,7 +188,7 @@ def infer_auto_regressive(model: FACT, params,
             n = min(dispatch_chunk, steps - done)
             motion_emb, part = _decode_scan(
                 model, params, motion_emb, audio_emb_full,
-                jnp.int32(done), n, unroll)
+                jnp.int32(done), n, unroll, last_block_rows)
             parts.append(part)
             done += n
         frames = jnp.concatenate(parts, axis=0)

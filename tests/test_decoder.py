@@ -94,6 +94,60 @@ def test_chunked_dispatch_is_identical(tiny_model):
                               dispatch_chunk=-1)
 
 
+def test_unroll_and_rows_knobs_are_exact(tiny_model):
+    """The sweepable decode knobs (scan unroll, final-block query rows)
+    must not change the math: any combination decodes the same frames as
+    the defaults (rows are row-local past the attention K/V; unroll only
+    changes XLA scheduling).  Pinned here on the CPU mesh at f32; on TPU
+    the knobs retile matmuls, so ULP-level deltas amplified by the AR
+    rollout are expected (decoder docstring).  These are the knobs the
+    f32 scoring sweep and Evaluator(decode_unroll/decode_rows) turn."""
+    model, params = tiny_model
+    rng = np.random.RandomState(7)
+    steps, b = 9, 2
+    audio_len = steps + model.audio_seq_length - 1
+    inputs = {
+        "motion_input": jnp.asarray(
+            rng.randn(b, model.motion_seq_length, 225) * 0.1, jnp.float32),
+        "audio_input": jnp.asarray(
+            rng.randn(b, audio_len, 35) * 0.1, jnp.float32),
+    }
+    base = np.asarray(infer_auto_regressive(model, params, inputs,
+                                            steps=steps))
+    for unroll, rows in ((1, 48), (3, 48), (8, 1), (8, 16), (4, 1000)):
+        got = infer_auto_regressive(model, params, inputs, steps=steps,
+                                    unroll=unroll, last_block_rows=rows)
+        np.testing.assert_allclose(np.asarray(got), base,
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"unroll={unroll} rows={rows}")
+
+
+def test_evaluator_decode_knobs_thread_through(tiny_model, tmp_path):
+    """Evaluator(decode_unroll=, decode_rows=) must reach the decoder and
+    produce the same clips as the defaults."""
+    from mint_tpu.eval.evaluator import Evaluator
+
+    model, params = tiny_model
+    rng = np.random.RandomState(11)
+    audio_len = model.audio_seq_length + 6
+    examples = [{
+        "motion_input": rng.randn(
+            model.motion_seq_length, 225).astype(np.float32) * 0.1,
+        "audio_input": rng.randn(audio_len, 35).astype(np.float32) * 0.1,
+        "motion_name": b"m0", "audio_name": b"a0",
+    }]
+    outs = {}
+    for tag, kw in (("default", {}),
+                    ("knobs", dict(decode_unroll=2, decode_rows=5))):
+        out_dir = tmp_path / tag
+        ev = Evaluator(model, [examples[0]], output_dir=str(out_dir),
+                       steps=7, **kw)
+        ev.evaluate(params)
+        outs[tag] = np.load(out_dir / "m0_a0.npy")
+    np.testing.assert_allclose(outs["knobs"], outs["default"],
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_max_steps_protocol(tiny_model):
     model, _ = tiny_model
     audio_seq = model.audio_seq_length
