@@ -181,13 +181,8 @@ def cqt_magnitude(y: np.ndarray, sr: int, hop: int = 512,
     fmin = fmin * 2.0 ** (tuning / bins_per_octave)
     fft_basis, lengths, n_fft = _cqt_kernels(sr, fmin, n_bins,
                                              bins_per_octave)
-    if len(y) <= n_fft // 2:
-        # Shorter than half the longest kernel: reflect padding cannot
-        # fill the first frame (librosa raises for the same input).
-        raise ValueError(
-            f"input too short for CQT: {len(y)} samples < n_fft/2 = "
-            f"{n_fft // 2} (lowest kernel spans {int(lengths[0])} "
-            "samples)")
+    if len(y) == 0:
+        raise ValueError("empty input to CQT")
     groups = _cqt_band_groups(sr, fmin, n_bins, bins_per_octave)
     dev = device.audio_device()
     bands = tuple((col_lo, col_hi) for _, _, col_lo, col_hi in groups)
@@ -204,6 +199,23 @@ def cqt_magnitude(y: np.ndarray, sr: int, hop: int = 512,
     # the [frames, n_fft] gather (chunk long tracks at the signal level).
     total = len(y)
     n_frames = total // hop + 1
+    if total <= n_fft // 2:
+        # Shorter than half the longest kernel: the in-kernel single
+        # reflection cannot fill a centered frame.  librosa's recursive
+        # CQT pads per octave at downsampled rates and handles such
+        # inputs; the single-resolution equivalent is repeated reflection
+        # at full rate — numpy's 'reflect' pad does exactly that, and the
+        # signal is short so the padded host copy is cheap.  All frames
+        # fit one chunk ([n_frames, n_fft] with n_frames <= 65).
+        ypad = np.pad(np.asarray(y, np.float32), n_fft // 2,
+                      mode="reflect" if total > 1 else "edge")
+        with device.on_audio_device():
+            out = _cqt_chunk(jnp.asarray(ypad), basis_r, basis_i, bands,
+                             n_fft, hop, 0, n_frames)
+        C = np.asarray(out)
+        if scale:
+            C = C / np.sqrt(lengths)[None, :]
+        return C
     outs = []
     step_frames = max(1, chunk)
     for f0 in range(0, n_frames, step_frames):

@@ -117,10 +117,21 @@ class TestChroma:
         active = norms > 1e-6
         np.testing.assert_allclose(norms[active], 1.0, atol=1e-5)
 
-    def test_too_short_input_raises(self):
-        # Shorter than half the longest CQT kernel: librosa raises too.
-        with pytest.raises(ValueError, match="too short"):
-            cqt_lib.chroma_cens(_tone(440, 0.5, SR), SR, tuning=0.0)
+    def test_short_input_pure_tone(self):
+        # Shorter than half the longest CQT kernel (librosa's recursive
+        # CQT handles such inputs via per-octave padding; the golden
+        # generator's 1 s noise/tone signals hit this path).  Repeated
+        # reflection at full rate must produce finite, pitch-correct
+        # chroma for the whole clip.
+        y = _tone(440, 0.5, SR)
+        ch = cqt_lib.chroma_cens(y, SR, tuning=0.0)
+        assert ch.shape == (len(y) // HOP_LENGTH + 1, 12)
+        assert np.isfinite(ch).all()
+        assert np.bincount(ch.argmax(axis=1), minlength=12).argmax() == 9
+
+    def test_empty_input_raises(self):
+        with pytest.raises(ValueError, match="empty"):
+            cqt_lib.cqt_magnitude(np.zeros(0, np.float32), SR)
 
     def test_tuning_estimate_centered_tone(self):
         # A4 sits exactly on the 36-bpo grid, but piptrack's parabolic
