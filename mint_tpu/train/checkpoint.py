@@ -6,11 +6,22 @@ polls the directory).
 from __future__ import annotations
 
 import os
+import threading
 import time
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
+
+
+@jax.jit
+def _copy_tree(tree):
+    """Copy every leaf into FRESH device buffers (sharding preserved by
+    propagation; jit never aliases outputs to non-donated inputs).  One
+    compiled dispatch for the whole state — per-leaf copies would pay the
+    per-dispatch link latency hundreds of times on a tunneled device."""
+    return jax.tree_util.tree_map(jnp.copy, tree)
 
 
 class CheckpointManager:
@@ -21,6 +32,9 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         self.save_interval_steps = save_interval_steps
         os.makedirs(self.directory, exist_ok=True)
+        self._save_thread: Optional[threading.Thread] = None
+        self._save_exc: Optional[BaseException] = None
+        self._inflight_step: Optional[int] = None
         # Interval gating is done HERE with tf.train.CheckpointManager
         # semantics ("interval elapsed since the last save"), not via
         # orbax's save_interval_steps option: orbax's FixedIntervalPolicy
@@ -34,28 +48,88 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
+    def join_async_save(self) -> None:
+        """Block until an in-flight :meth:`save_async` has handed off to
+        orbax (its device→host fetch is done), re-raising its failure."""
+        t = self._save_thread
+        if t is not None:
+            t.join()
+            self._save_thread = None
+            self._inflight_step = None
+            if self._save_exc is not None:
+                exc, self._save_exc = self._save_exc, None
+                raise exc
+
     def would_save(self, step: int, force: bool = False) -> bool:
         """Whether :meth:`save` would write a checkpoint at `step` —
         lets callers order work that must precede a save (e.g. the
         controller writes the step's summary first: a checkpoint must
         never outlive its summary)."""
-        if step in self._mgr.all_steps():
+        # Deliberately non-blocking while a save_async is in flight (the
+        # controller asks at EVERY loop boundary — joining here would move
+        # the save stall to the next boundary instead of removing it):
+        # the in-flight step stands in for its not-yet-registered
+        # directory entry.
+        inflight = self._inflight_step
+        if step == inflight or step in self._mgr.all_steps():
             return False  # already saved (e.g. force-save after interval)
         last = self._mgr.latest_step()
+        if inflight is not None:
+            last = inflight if last is None else max(last, inflight)
         return force or last is None \
             or step - last >= self.save_interval_steps
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
+        self.join_async_save()
         if not self.would_save(step, force):
             return False
         return self._mgr.save(step, args=ocp.args.StandardSave(state),
                               force=True)
 
+    def save_async(self, step: int, state: Any, force: bool = False) -> bool:
+        """Save without stalling the caller on the device→host fetch.
+
+        Orbax's "async" checkpointing only backgrounds the FILE write —
+        ``save()`` still fetches every array to the host synchronously,
+        which through a slow device link is the whole stall (~80 s for a
+        full TrainState on a 12 MB/s tunnel, docs/BENCHMARKS.md).  This
+        snapshots `state` into fresh device buffers (one cheap on-device
+        dispatch) and runs the orbax save on a background thread, so the
+        caller may immediately re-dispatch training — including donating
+        `state`'s buffers — while the fetch rides the link.
+
+        At most one save is in flight: starting the next save (or a
+        restore / wait / close) joins the previous one and re-raises its
+        failure.  `would_save` stays non-blocking — it counts the
+        in-flight step as saved.
+        """
+        if not self.would_save(step, force):
+            return False
+        self.join_async_save()  # serialize saves; surface prior failures
+        if not self.would_save(step, force):  # re-check post-registration
+            return False
+        snapshot = _copy_tree(state)
+
+        def _run():
+            try:
+                self._mgr.save(step, args=ocp.args.StandardSave(snapshot),
+                               force=True)
+            except BaseException as exc:  # re-raised at the next join
+                self._save_exc = exc
+
+        self._inflight_step = step
+        self._save_thread = threading.Thread(
+            target=_run, name=f"ckpt-save-{step}", daemon=True)
+        self._save_thread.start()
+        return True
+
     def latest_step(self) -> Optional[int]:
+        self.join_async_save()
         return self._mgr.latest_step()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure/shardings of `state_template`."""
+        self.join_async_save()
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
@@ -78,6 +152,7 @@ class CheckpointManager:
         Uses a standalone checkpointer so it works on a manager that
         has also SAVED in this process (the manager's handler registry
         binds the save-time args type)."""
+        self.join_async_save()
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
@@ -91,9 +166,11 @@ class CheckpointManager:
         return out["params"]
 
     def wait_until_finished(self) -> None:
+        self.join_async_save()
         self._mgr.wait_until_finished()
 
     def close(self) -> None:
+        self.join_async_save()
         self._mgr.close()
 
     def checkpoints_iterator(self, timeout: float,

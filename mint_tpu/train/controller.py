@@ -177,7 +177,13 @@ class Controller:
                 # dispatch overlap once per interval.
                 metrics = self._flush_loop_metrics(*self._pending, timer)
                 self._pending = None
-                self.checkpoint_manager.save(step, self.state)
+                # save_async snapshots the state to fresh device buffers
+                # and fetches them to host on a background thread — the
+                # next loop's dispatch (which DONATES self.state) proceeds
+                # immediately instead of stalling for the fetch (~80 s on
+                # a 12 MB/s tunneled link; measured in docs/BENCHMARKS.md
+                # "Checkpoint-save stall").
+                self.checkpoint_manager.save_async(step, self.state)
         return metrics
 
     def _flush_loop_metrics(self, step: int, loop: int, step_metrics,

@@ -219,15 +219,17 @@ def test_checkpoint_save_implies_summary_written(tmp_path):
 
     mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=5,
                             max_to_keep=5)
-    orig_save = mgr.save
+    orig_save = mgr.save_async
 
     def spy_save(step, state, force=False):
+        # The event marks save INITIATION (the async fetch starts here);
+        # the summary must already be on disk at this point.
         saved = orig_save(step, state, force=force)
         if saved:
             events.append(("saved", step))
         return saved
 
-    mgr.save = spy_save
+    mgr.save_async = spy_save
     ctl = Controller(trainer=trainer, train_iter=batches(), state=state,
                      steps_per_loop=5, checkpoint_manager=mgr,
                      summary_dir=str(tmp_path / "summaries"),
@@ -313,6 +315,103 @@ def test_interval_checkpoints_fire_off_multiple_boundaries(tmp_path):
                    if d.isdigit())
     # 1 (initial), 21 (first boundary >= 1+20), 41 (>= 21+20).
     assert steps == [1, 21, 41], steps
+
+
+def test_save_async_survives_donation(tmp_path):
+    """save_async must snapshot the state before returning: the very next
+    train_step DONATES the state's buffers, so a save that kept reading
+    them would fetch deleted/recycled memory.  The restored checkpoint
+    must equal the state exactly as it was at save time."""
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+    rng = np.random.RandomState(3)
+    batch = trainer.shard_batch(make_batch(rng, 8, model))
+    for _ in range(2):
+        state, _ = trainer.train_step(state, batch)
+    want = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=1)
+    assert mgr.save_async(int(state.step), state)
+    # Donate the saved state's buffers while the save is (possibly) still
+    # fetching, then overwrite them again for good measure.
+    for _ in range(3):
+        state, _ = trainer.train_step(state, batch)
+    mgr.wait_until_finished()
+    assert mgr.latest_step() == 2
+
+    template = trainer.init_state(init_params(model, jax.random.PRNGKey(9)))
+    restored = mgr.restore(template, step=2)
+    got = [np.asarray(x) for x in jax.tree_util.tree_leaves(restored.params)]
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    mgr.close()
+
+
+def test_controller_save_does_not_stall_training(tmp_path):
+    """The interval save must not block the train loop for the duration
+    of the checkpoint fetch/write (the ~80 s stall through a 12 MB/s
+    device link, docs/BENCHMARKS.md): the controller keeps dispatching
+    while the save rides a background thread.  Proven here by slowing the
+    underlying orbax save and asserting train() returns BEFORE it
+    finishes."""
+    import threading
+    import time as time_lib
+
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+    rng = np.random.RandomState(4)
+    batch = trainer.shard_batch(make_batch(rng, 8, model))
+
+    def batches():
+        while True:
+            yield batch
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=10)
+    finished = {}
+    orig_save = mgr._mgr.save
+
+    def slow_save(*args, **kwargs):
+        assert threading.current_thread().name.startswith("ckpt-save"), \
+            "interval save ran on the training thread"
+        time_lib.sleep(2.0)
+        out = orig_save(*args, **kwargs)
+        finished["at"] = time_lib.monotonic()
+        return out
+
+    mgr._mgr.save = slow_save
+    ctl = Controller(trainer=trainer, train_iter=batches(), state=state,
+                     steps_per_loop=5, checkpoint_manager=mgr,
+                     summary_dir=str(tmp_path / "s"), summary_interval=5)
+    ctl.train(25)  # interval saves at 5/15/25; loops never wait for them
+    returned_at = time_lib.monotonic()
+    ctl.save_checkpoint()  # joins the in-flight save@25 (already saved)
+    assert finished["at"] > returned_at, \
+        "train() blocked until the interval save completed"
+    assert sorted(map(int, os.listdir(str(tmp_path / "ckpt")))) == [5, 15, 25]
+    ctl.close()
+
+
+def test_save_async_failure_surfaces_at_next_join(tmp_path):
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=1)
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("disk full")
+
+    mgr._mgr.save = boom
+    assert mgr.save_async(1, state)
+    with pytest.raises(RuntimeError, match="disk full"):
+        mgr.wait_until_finished()
+    # The failure is consumed; the manager remains usable.
+    assert mgr.latest_step() is None
+    mgr.close()
 
 
 def test_checkpoints_iterator_starts_at_latest(tmp_path):
