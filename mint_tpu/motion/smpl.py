@@ -17,7 +17,9 @@ unpickler converts chumpy arrays without needing chumpy installed.
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 import pickle
 from typing import NamedTuple, Optional
 
@@ -164,14 +166,38 @@ def _fk(rotmats: jax.Array, j_rest: jax.Array, parents: tuple,
     return joints + transl[..., None, :]
 
 
+def eval_device():
+    """Placement for the offline scorer/feature CLIs' FK: host CPU by
+    default, like the audio frontend's ``MINT_TPU_AUDIO_DEVICE`` policy.
+    The workload is ~1 s of tiny matmuls, and a remote/tunneled
+    accelerator must not sit in the offline scoring path — a TPU-worker
+    restart after a heavy eval stalled ``calculate_scores`` for ~16 min
+    waiting on device init (round-4 recorded E2E run).  Set
+    ``MINT_TPU_EVAL_DEVICE=tpu`` to opt in to the accelerator."""
+    kind = os.environ.get("MINT_TPU_EVAL_DEVICE", "cpu")
+    try:
+        return jax.local_devices(backend=kind)[0]
+    except RuntimeError:
+        return jax.local_devices()[0]
+
+
 def smpl_joints(poses: jax.Array, transl: jax.Array,
                 model: Optional[SMPLModel] = None) -> jax.Array:
     """Axis-angle poses [..., 24, 3] + transl [..., 3] -> joints
     [..., 24, 3]; drop-in for the reference's
-    ``smpl.forward(...).joints[..., :24, :]``."""
+    ``smpl.forward(...).joints[..., :24, :]``.
+
+    Uncommitted (host) inputs compute on :func:`eval_device` (CPU by
+    default); committed device arrays keep their placement, so on-device
+    pipelines are unaffected."""
     if model is None:
         model = SMPLModel(j_rest=default_rest_joints(),
                           parents=SMPL_PARENTS)
-    rotmats = aa2rotmat(poses).reshape(poses.shape[:-1] + (3, 3))
-    return _fk(rotmats, jnp.asarray(model.j_rest),
-               tuple(int(p) for p in model.parents), jnp.asarray(transl))
+    device = None if isinstance(poses, jax.Array) and poses.committed \
+        else eval_device()
+    with (jax.default_device(device) if device is not None
+          else contextlib.nullcontext()):
+        rotmats = aa2rotmat(poses).reshape(poses.shape[:-1] + (3, 3))
+        return _fk(rotmats, jnp.asarray(model.j_rest),
+                   tuple(int(p) for p in model.parents),
+                   jnp.asarray(transl))

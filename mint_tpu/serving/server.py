@@ -444,6 +444,11 @@ def main(argv=None):
                          "first client request doesn't pay the one-time "
                          "param-staging / program-load / compile cost "
                          "(minutes on cold caches or tunneled hosts).")
+    flags.DEFINE_boolean("use_bfloat16", False,
+                         "Serve with bf16 compute — the throughput "
+                         "configuration (~1.5x decode rate, docs/E2E.md "
+                         "'Decode dtype experiment').  Default f32, the "
+                         "reference's eval/scoring semantics.")
 
     def run(_):
         from mint_tpu.config.schema import load_pipeline_config
@@ -451,9 +456,12 @@ def main(argv=None):
         from mint_tpu.models.fact import init_params
         from mint_tpu.train.checkpoint import CheckpointManager
 
+        import jax.numpy as jnp
         pipeline = load_pipeline_config(FLAGS.config_path)
-        model = builder.build(pipeline.multi_modal_model,
-                              is_training=False)
+        model = builder.build(
+            pipeline.multi_modal_model, is_training=False,
+            compute_dtype=jnp.bfloat16 if FLAGS.use_bfloat16
+            else jnp.float32)
         if FLAGS.checkpoint_dir:
             # Params-only restore against an abstract template: skips
             # both the random 120M-param init (compile + compute on the
