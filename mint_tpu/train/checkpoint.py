@@ -102,6 +102,11 @@ class CheckpointManager:
         restore / wait / close) joins the previous one and re-raises its
         failure.  `would_save` stays non-blocking — it counts the
         in-flight step as saved.
+
+        Cost: the snapshot doubles the state's HBM footprint until the
+        background fetch completes (~2× 1.4 GB for the flagship
+        TrainState — fine on a 16 GB chip; for models near the HBM
+        limit use the synchronous :meth:`save`).
         """
         if not self.would_save(step, force):
             return False

@@ -125,6 +125,15 @@ class Controller:
                     self._flush_loop_metrics(*pending, timer)
                 except Exception:
                     pass  # flushing needs the device; keep the original
+            # Likewise an in-flight async save must not die with the
+            # process (its thread is a daemon): let it finish so the
+            # resumed run restores this interval, not the previous one.
+            # Failures are swallowed — the original exception matters.
+            if self.checkpoint_manager is not None:
+                try:
+                    self.checkpoint_manager.join_async_save()
+                except Exception:
+                    pass
             raise
         pending, self._pending = self._pending, None
         if pending is not None:
