@@ -449,6 +449,15 @@ def main(argv=None):
                          "configuration (~1.5x decode rate, docs/E2E.md "
                          "'Decode dtype experiment').  Default f32, the "
                          "reference's eval/scoring semantics.")
+    flags.DEFINE_float("batch_window_ms", 10.0,
+                       "How long the batcher holds the first queued "
+                       "request for same-bucket companions.  Latency "
+                       "cost is the window itself (~ms); the win is one "
+                       "decode dispatch instead of several (measured "
+                       "under 8-way concurrent load: docs/BENCHMARKS.md "
+                       "'Online serving').")
+    flags.DEFINE_integer("max_batch", 32,
+                         "Close a batch early at this many requests.")
 
     def run(_):
         from mint_tpu.config.schema import load_pipeline_config
@@ -479,6 +488,8 @@ def main(argv=None):
             mesh = mesh_lib.make_mesh(data=n_dev, model=1,
                                       devices=jax.devices()[:n_dev])
         service = GenerationService(model, params,
+                                    batch_window_ms=FLAGS.batch_window_ms,
+                                    max_batch=FLAGS.max_batch,
                                     default_steps=FLAGS.steps,
                                     request_timeout=FLAGS.request_timeout,
                                     mesh=mesh)
