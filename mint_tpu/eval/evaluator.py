@@ -32,7 +32,7 @@ class Evaluator:
 
     def __init__(self, model: FACT, dataset,
                  metrics: Sequence = (), output_dir: Optional[str] = None,
-                 steps: int = 1200, decode_batch: int = 64, mesh=None,
+                 steps: int = 1200, decode_batch: int = 8, mesh=None,
                  dispatch_chunk: Optional[int] = 200,
                  steps_bucket: Optional[int] = None,
                  fold_ln: bool = False,
@@ -56,6 +56,15 @@ class Evaluator:
         containers with __iter__) honor the flag the same way; true
         one-shot iterators are always cached since a second drain would
         silently yield an empty corpus.
+
+        `decode_batch` caps how many clips one decode dispatch carries.
+        Default 8: at the f32 scoring protocol, per-frame decode
+        throughput FALLS with batch (1683 f/s at batch 8 vs 1061 at
+        batch 64, full 1200-step protocol, median of 3 — docs/
+        BENCHMARKS.md "f32 scoring decode BATCH sweep"), so several
+        small dispatches finish the same clips 59% sooner than one big
+        one.  Multi-chip meshes may want it raised so every device
+        carries more than one clip per dispatch.
 
         With `mesh` (a jax.sharding.Mesh), decode batches are sharded over
         the mesh's data axis — multi-chip generation; clip buckets are

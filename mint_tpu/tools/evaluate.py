@@ -45,6 +45,13 @@ flags.DEFINE_integer("steps_bucket", 128,
                      "decode-batch shapes, so saved floats may differ "
                      "from --steps_bucket=0 within XLA fusion tolerance "
                      "(metrics are batching-invariant, tests/test_eval).")
+flags.DEFINE_integer("decode_batch", 8,
+                     "Max clips per decode dispatch.  Small batches "
+                     "decode FASTER per frame on this chip (batch 8: "
+                     "1683 f/s vs batch 64: 1061 f/s at the full f32 "
+                     "scoring protocol — docs/BENCHMARKS.md 'f32 "
+                     "scoring decode BATCH sweep'); metrics are "
+                     "batching-invariant.")
 flags.DEFINE_bool("reload_dataset_per_pass", False,
                   "Re-read the eval tfrecords for every checkpoint pass "
                   "instead of caching the parsed corpus after the first "
@@ -89,6 +96,7 @@ def evaluate():
     evaluator = Evaluator(model, dataset, metrics=metrics,
                           output_dir=FLAGS.output_dir, steps=FLAGS.steps,
                           steps_bucket=FLAGS.steps_bucket or None,
+                          decode_batch=FLAGS.decode_batch,
                           cache_examples=not FLAGS.reload_dataset_per_pass)
 
     # Abstract template only: every eval pass restores real params from a
