@@ -59,7 +59,7 @@ class GenerationService:
     """Owns the model, params, and the batching worker."""
 
     def __init__(self, model: FACT, params, batch_window_ms: float = 10.0,
-                 max_batch: int = 32, default_steps: int = 1200,
+                 max_batch: int = 8, default_steps: int = 1200,
                  steps_bucket: int = 128, unroll: int = 8,
                  request_timeout: float = 900.0, mesh=None):
         """`steps_bucket` quantizes generation lengths upward so XLA
@@ -72,6 +72,15 @@ class GenerationService:
         `unroll` is the decode-scan unroll factor: 8 maximizes warm
         throughput (+11%, docs/BENCHMARKS.md); drop to 1 when per-bucket
         cold-compile latency matters more than steady-state throughput.
+
+        `max_batch` default 8: per-frame decode throughput FALLS with
+        batch on this chip, steeply at the f32 serving default (batch 8
+        = 1683 f/s vs batch 32 = 1180, full-protocol sweep — docs/
+        BENCHMARKS.md "f32 scoring decode BATCH sweep"), so closing a
+        32-deep burst into four batch-8 dispatches is both ~40% more
+        throughput AND lower worst-case latency than one batch-32
+        dispatch.  bf16 deployments can raise it (the bf16 curve is
+        flat to ~20).
 
         `mesh` (optional jax.sharding.Mesh) shards each decode batch over
         the mesh's data axis — one server drives the whole chip pod the
@@ -456,8 +465,13 @@ def main(argv=None):
                        "decode dispatch instead of several (measured "
                        "under 8-way concurrent load: docs/BENCHMARKS.md "
                        "'Online serving').")
-    flags.DEFINE_integer("max_batch", 32,
-                         "Close a batch early at this many requests.")
+    flags.DEFINE_integer("max_batch", 8,
+                         "Close a batch early at this many requests.  "
+                         "Default 8: decode throughput falls with batch "
+                         "at f32 (1683 f/s at 8 vs 1180 at 32 — docs/"
+                         "BENCHMARKS.md), so several small dispatches "
+                         "beat one big one on throughput and worst-case "
+                         "latency; raise toward 20 with --use_bfloat16.")
 
     def run(_):
         from mint_tpu.config.schema import load_pipeline_config

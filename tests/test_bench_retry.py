@@ -6,6 +6,12 @@ signatures on stderr / signal kills) or the child HANGS without output
 while the tunnel is down — observed for >1 h straight).  Both must be
 retried in a fresh process; deterministic failures must surface at
 once.  These tests never touch jax.
+
+Stand-in children run with ``-S``: a plain ``python -c`` inherits the
+sitecustomize, whose TPU-plugin registration can block for seconds
+whenever anything else holds the single-tenant chip — which made the
+short-deadline tests flaky next to a live bench run.  The children
+only need stdlib, so skipping site init makes them hermetic.
 """
 
 import subprocess
@@ -20,7 +26,7 @@ import bench
 class TestRunAttempt:
     def test_clean_exit_streams_and_captures_stderr(self):
         rc, stderr, hung = bench._run_attempt(
-            [sys.executable, "-c",
+            [sys.executable, "-S", "-c",
              "import sys; sys.stderr.write('warming up\\n')"],
             env=None, cwd=None, timeout_s=60)
         assert rc == 0 and not hung
@@ -28,7 +34,7 @@ class TestRunAttempt:
 
     def test_nonzero_exit_reported(self):
         rc, stderr, hung = bench._run_attempt(
-            [sys.executable, "-c",
+            [sys.executable, "-S", "-c",
              "import sys; sys.stderr.write('UNAVAILABLE: socket closed\\n');"
              "sys.exit(3)"],
             env=None, cwd=None, timeout_s=60)
@@ -38,7 +44,7 @@ class TestRunAttempt:
     def test_hang_is_killed_at_the_deadline(self):
         t0 = time.perf_counter()
         rc, stderr, hung = bench._run_attempt(
-            [sys.executable, "-c", "import time; time.sleep(600)"],
+            [sys.executable, "-S", "-c", "import time; time.sleep(600)"],
             env=None, cwd=None, timeout_s=2)
         assert hung
         assert rc != 0  # killed
@@ -52,11 +58,11 @@ class TestRunAttempt:
         import os
 
         rc, stderr, hung = bench._run_attempt(
-            [sys.executable, "-c",
+            [sys.executable, "-S", "-c",
              "import subprocess, sys, os, time\n"
              "sys.stderr.write('PID %d\\n' % os.getpid())\n"
              "sys.stderr.flush()\n"
-             "subprocess.Popen([sys.executable, '-c',"
+             "subprocess.Popen([sys.executable, '-S', '-c',"
              " 'import time; time.sleep(600)'])\n"
              "time.sleep(600)"],
             env=None, cwd=None, timeout_s=3)
