@@ -30,8 +30,10 @@ STEPS = 1200
 # protocol, same process: batch 20 = 1745 f/s, batch 40 = 1616 f/s —
 # docs/BENCHMARKS.md "Decode batch sweep", scripts/exp_bench_batch.py),
 # so two batch-20 dispatches finish the same 40 clips ~8% sooner than
-# one batch-40 dispatch.  Same work, same outputs, wall clock spans
-# dispatch of the first to host materialization of the last.
+# one batch-40 dispatch.  Same work, same per-clip outputs (to float
+# rounding: XLA's reduction order varies with the compiled batch shape
+# — tests/test_decoder.py::test_batch_split_decode_is_identical); wall
+# clock spans dispatch of the first to host materialization of the last.
 DISPATCH = 20
 
 

@@ -94,6 +94,40 @@ def test_chunked_dispatch_is_identical(tiny_model):
                               dispatch_chunk=-1)
 
 
+def test_batch_split_decode_is_identical(tiny_model):
+    """Splitting a decode batch into smaller sequential dispatches (the
+    bench protocol runs 40 clips as 2 x batch-20 — bench.py DISPATCH;
+    the evaluator and server cap dispatches the same way) must decode
+    each clip to the same frames as one full-batch dispatch: no op in
+    the decode scan couples clips across the batch axis.  Equality is
+    numerical, not bitwise — XLA picks different reduction orders for
+    different compiled batch shapes (measured max |delta| 2.6e-7 over a
+    9-step AR rollout here; bitwise equality DOES hold for same-shape
+    dispatch_chunk splits, pinned above)."""
+    model, params = tiny_model
+    rng = np.random.RandomState(7)
+    steps, b = 9, 5
+    audio_len = steps + model.audio_seq_length - 1
+    inputs = {
+        "motion_input": jnp.asarray(
+            rng.randn(b, model.motion_seq_length, 225) * 0.1, jnp.float32),
+        "audio_input": jnp.asarray(
+            rng.randn(b, audio_len, 35) * 0.1, jnp.float32),
+    }
+    whole = np.asarray(
+        infer_auto_regressive(model, params, inputs, steps=steps))
+    for split in (1, 2, 3):  # 3 leaves an uneven final dispatch (2+2+1)
+        parts = [
+            np.asarray(infer_auto_regressive(
+                model, params,
+                {k: v[i:i + split] for k, v in inputs.items()},
+                steps=steps))
+            for i in range(0, b, split)
+        ]
+        np.testing.assert_allclose(np.concatenate(parts), whole,
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_unroll_and_rows_knobs_are_exact(tiny_model):
     """The sweepable decode knobs (scan unroll, final-block query rows)
     must not change the math: any combination decodes the same frames as
