@@ -16,12 +16,28 @@ import orbax.checkpoint as ocp
 
 
 @jax.jit
-def _copy_tree(tree):
-    """Copy every leaf into FRESH device buffers (sharding preserved by
-    propagation; jit never aliases outputs to non-donated inputs).  One
-    compiled dispatch for the whole state — per-leaf copies would pay the
+def _copy_arrays(arrays):
+    """One compiled dispatch copying every array into FRESH device
+    buffers (sharding preserved by propagation; jit never aliases
+    outputs to non-donated inputs) — per-leaf copies would pay the
     per-dispatch link latency hundreds of times on a tunneled device."""
-    return jax.tree_util.tree_map(jnp.copy, tree)
+    return [jnp.copy(a) for a in arrays]
+
+
+def _copy_tree(tree):
+    """Snapshot a pytree: ``jax.Array`` leaves are copied on-device;
+    every other leaf (python ints/floats, e.g. injected optimizer
+    hyperparams) passes through UNCHANGED so a checkpoint written by
+    :meth:`CheckpointManager.save_async` is byte-compatible with one
+    written by the synchronous :meth:`CheckpointManager.save` — jitting
+    the whole tree would silently promote scalar leaves to device
+    arrays."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    is_arr = [isinstance(leaf, jax.Array) for leaf in leaves]
+    arrays = [leaf for leaf, a in zip(leaves, is_arr) if a]
+    copied = iter(_copy_arrays(arrays)) if arrays else iter(())
+    out = [next(copied) if a else leaf for leaf, a in zip(leaves, is_arr)]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 class CheckpointManager:
@@ -47,6 +63,16 @@ class CheckpointManager:
             enable_async_checkpointing=True,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        # Local mirror of the manager's registered steps: `would_save`
+        # reads THIS (plus `_inflight_step`) instead of calling
+        # `_mgr.all_steps()/latest_step()` while a background
+        # :meth:`save_async` thread may be inside `_mgr.save()` — orbax
+        # managers are not documented thread-safe, so the training thread
+        # never touches `_mgr` concurrently with the save thread.
+        # Eviction (max_to_keep) may leave stale entries here; only the
+        # max matters (training steps are monotone), and blocking entry
+        # points (save/restore/latest_step) re-sync after joining.
+        self._known_steps = set(self._mgr.all_steps())
 
     def join_async_save(self) -> None:
         """Block until an in-flight :meth:`save_async` has handed off to
@@ -55,10 +81,12 @@ class CheckpointManager:
         if t is not None:
             t.join()
             self._save_thread = None
-            self._inflight_step = None
+            step, self._inflight_step = self._inflight_step, None
             if self._save_exc is not None:
                 exc, self._save_exc = self._save_exc, None
                 raise exc
+            if step is not None:
+                self._known_steps.add(step)
 
     def would_save(self, step: int, force: bool = False) -> bool:
         """Whether :meth:`save` would write a checkpoint at `step` —
@@ -69,11 +97,13 @@ class CheckpointManager:
         # controller asks at EVERY loop boundary — joining here would move
         # the save stall to the next boundary instead of removing it):
         # the in-flight step stands in for its not-yet-registered
-        # directory entry.
+        # directory entry, and the locally mirrored `_known_steps` stands
+        # in for `_mgr.all_steps()` (never call into orbax concurrently
+        # with the save thread).
         inflight = self._inflight_step
-        if step == inflight or step in self._mgr.all_steps():
+        if step == inflight or step in self._known_steps:
             return False  # already saved (e.g. force-save after interval)
-        last = self._mgr.latest_step()
+        last = max(self._known_steps) if self._known_steps else None
         if inflight is not None:
             last = inflight if last is None else max(last, inflight)
         return force or last is None \
@@ -83,8 +113,11 @@ class CheckpointManager:
         self.join_async_save()
         if not self.would_save(step, force):
             return False
-        return self._mgr.save(step, args=ocp.args.StandardSave(state),
-                              force=True)
+        saved = self._mgr.save(step, args=ocp.args.StandardSave(state),
+                               force=True)
+        if saved:
+            self._known_steps.add(step)
+        return saved
 
     def save_async(self, step: int, state: Any, force: bool = False) -> bool:
         """Save without stalling the caller on the device→host fetch.
@@ -103,11 +136,34 @@ class CheckpointManager:
         failure.  `would_save` stays non-blocking — it counts the
         in-flight step as saved.
 
+        MULTI-PROCESS runs fall back to the synchronous :meth:`save`:
+        orbax's multi-process save runs cross-process barriers (commit
+        coordination, metadata validation) over the SAME distributed
+        runtime the training collectives use, and interleaving those two
+        collective streams from different threads has no ordering
+        guarantee — in practice it deadlocks training at the first
+        interval checkpoint (every worker completes the save, then
+        freezes in training collectives; reproduced and bisected in the
+        round-4 review).  The synchronous path still backgrounds the
+        FILE write with correct multihost coordination
+        (``enable_async_checkpointing``); only the device→host fetch is
+        paid on the training thread — correct first, overlapped where
+        it is safe (single-process).
+
+        The save thread is NON-daemon: a process that exits without
+        calling :meth:`close`/:meth:`wait_until_finished` (the
+        controller does) still waits for the in-flight fetch at
+        interpreter shutdown instead of silently dropping the
+        checkpoint — orbax's atomic rename prevents corruption but not
+        loss.
+
         Cost: the snapshot doubles the state's HBM footprint until the
         background fetch completes (~2× 1.4 GB for the flagship
         TrainState — fine on a 16 GB chip; for models near the HBM
         limit use the synchronous :meth:`save`).
         """
+        if jax.process_count() > 1:
+            return self.save(step, state, force)
         if not self.would_save(step, force):
             return False
         self.join_async_save()  # serialize saves; surface prior failures
@@ -124,7 +180,7 @@ class CheckpointManager:
 
         self._inflight_step = step
         self._save_thread = threading.Thread(
-            target=_run, name=f"ckpt-save-{step}", daemon=True)
+            target=_run, name=f"ckpt-save-{step}", daemon=False)
         self._save_thread.start()
         return True
 
