@@ -189,12 +189,19 @@ def smpl_joints(poses: jax.Array, transl: jax.Array,
 
     Uncommitted (host) inputs compute on :func:`eval_device` (CPU by
     default); committed device arrays keep their placement, so on-device
-    pipelines are unaffected."""
+    pipelines are unaffected.  Under a jit trace the placement logic is
+    skipped entirely (tracers are ``jax.Array`` instances but
+    ``.committed`` is concretization-only) — traced calls inherit the
+    enclosing computation's placement, which is what jit semantics
+    dictate anyway."""
     if model is None:
         model = SMPLModel(j_rest=default_rest_joints(),
                           parents=SMPL_PARENTS)
-    device = None if isinstance(poses, jax.Array) and poses.committed \
-        else eval_device()
+    if isinstance(poses, jax.core.Tracer):
+        device = None
+    else:
+        device = None if isinstance(poses, jax.Array) and poses.committed \
+            else eval_device()
     with (jax.default_device(device) if device is not None
           else contextlib.nullcontext()):
         rotmats = aa2rotmat(poses).reshape(poses.shape[:-1] + (3, 3))

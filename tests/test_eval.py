@@ -68,6 +68,18 @@ class TestSMPLFK:
         j = np.asarray(smpl_lib.smpl_joints(poses, transl))
         assert j.shape == (2, 5, 24, 3)
 
+    def test_traceable_under_jit(self):
+        """The eval-device placement logic must not concretize tracers
+        (tracers are jax.Array instances but `.committed` is
+        concretization-only) — smpl_joints must stay jittable."""
+        import jax
+
+        f = jax.jit(smpl_lib.smpl_joints)
+        j = np.asarray(f(np.zeros((2, 24, 3)), np.zeros((2, 3))))
+        eager = np.asarray(
+            smpl_lib.smpl_joints(np.zeros((2, 24, 3)), np.zeros((2, 3))))
+        np.testing.assert_allclose(j, eager, atol=1e-6)
+
 
 def _walk_motion(t=120, speed=1.0):
     """Rest-pose skeleton translating at `speed` m/s with arm swing."""
