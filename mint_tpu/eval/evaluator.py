@@ -27,12 +27,20 @@ from mint_tpu.models.fact import FACT
 from mint_tpu.parallel import mesh as mesh_lib
 
 
+#: Measured single-chip decode-batch optimum at the f32 scoring protocol
+#: (docs/BENCHMARKS.md "f32 scoring decode BATCH sweep"): per-frame decode
+#: throughput FALLS with batch on one chip, so the default keeps each
+#: device's share of a dispatch at this size.
+PER_DEVICE_DECODE_BATCH = 8
+
+
 class Evaluator:
     """Batched AR-generation evaluator."""
 
     def __init__(self, model: FACT, dataset,
                  metrics: Sequence = (), output_dir: Optional[str] = None,
-                 steps: int = 1200, decode_batch: int = 8, mesh=None,
+                 steps: int = 1200, decode_batch: Optional[int] = None,
+                 mesh=None,
                  dispatch_chunk: Optional[int] = 200,
                  steps_bucket: Optional[int] = None,
                  fold_ln: bool = False,
@@ -58,13 +66,17 @@ class Evaluator:
         silently yield an empty corpus.
 
         `decode_batch` caps how many clips one decode dispatch carries.
-        Default 8: at the f32 scoring protocol, per-frame decode
-        throughput FALLS with batch (1683 f/s at batch 8 vs 1061 at
-        batch 64, full 1200-step protocol, median of 3 — docs/
-        BENCHMARKS.md "f32 scoring decode BATCH sweep"), so several
-        small dispatches finish the same clips 59% sooner than one big
-        one.  Multi-chip meshes may want it raised so every device
-        carries more than one clip per dispatch.
+        Default (None) is MESH-AWARE: ``PER_DEVICE_DECODE_BATCH (8) ×
+        the mesh's data-axis size`` (×1 without a mesh).  At the f32
+        scoring protocol, per-frame decode throughput FALLS with
+        per-chip batch (1683 f/s at batch 8 vs 1061 at batch 64, full
+        1200-step protocol, median of 3 — docs/BENCHMARKS.md "f32
+        scoring decode BATCH sweep"), so several small dispatches finish
+        the same clips 59% sooner than one big one — but the optimum is
+        PER DEVICE: a fixed cap of 8 on an 8-wide data axis would put
+        one clip per device per dispatch, wasting 7/8 of the fleet's
+        measured batch capacity.  An explicit int pins the cap exactly
+        (sweeps, protocol pinning).
 
         With `mesh` (a jax.sharding.Mesh), decode batches are sharded over
         the mesh's data axis — multi-chip generation; clip buckets are
@@ -109,7 +121,10 @@ class Evaluator:
         self.metrics = list(metrics)
         self.output_dir = output_dir
         self.steps = steps
-        self.decode_batch = decode_batch
+        if decode_batch is None:
+            data = mesh.shape[mesh_lib.DATA_AXIS] if mesh is not None else 1
+            decode_batch = PER_DEVICE_DECODE_BATCH * data
+        self.decode_batch = int(decode_batch)
         self.mesh = mesh
         self.dispatch_chunk = dispatch_chunk
         self.steps_bucket = (int(steps_bucket)

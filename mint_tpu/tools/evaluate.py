@@ -45,10 +45,11 @@ flags.DEFINE_integer("steps_bucket", 128,
                      "decode-batch shapes, so saved floats may differ "
                      "from --steps_bucket=0 within XLA fusion tolerance "
                      "(metrics are batching-invariant, tests/test_eval).")
-flags.DEFINE_integer("decode_batch", 8,
-                     "Max clips per decode dispatch.  Small batches "
-                     "decode FASTER per frame on this chip (batch 8: "
-                     "1683 f/s vs batch 64: 1061 f/s at the full f32 "
+flags.DEFINE_integer("decode_batch", 0,
+                     "Max clips per decode dispatch; 0 (default) = "
+                     "mesh-aware auto: 8 per data-axis device.  Small "
+                     "PER-DEVICE batches decode FASTER per frame (batch "
+                     "8: 1683 f/s vs batch 64: 1061 f/s at the full f32 "
                      "scoring protocol — docs/BENCHMARKS.md 'f32 "
                      "scoring decode BATCH sweep'); metrics are "
                      "batching-invariant.")
@@ -96,7 +97,7 @@ def evaluate():
     evaluator = Evaluator(model, dataset, metrics=metrics,
                           output_dir=FLAGS.output_dir, steps=FLAGS.steps,
                           steps_bucket=FLAGS.steps_bucket or None,
-                          decode_batch=FLAGS.decode_batch,
+                          decode_batch=FLAGS.decode_batch or None,
                           cache_examples=not FLAGS.reload_dataset_per_pass)
 
     # Abstract template only: every eval pass restores real params from a

@@ -114,6 +114,23 @@ class TestEvaluator:
         ev.evaluate(params)  # 2 clips -> target 8 -> padded to 12
         assert len(os.listdir(tmp_path)) == 2  # pad clips trimmed
 
+    def test_default_decode_batch_is_mesh_aware(self, tiny_model, tmp_path):
+        """Default decode_batch scales with the mesh's data axis (8 per
+        data-axis device) so a multi-chip eval keeps every device at the
+        measured single-chip per-device optimum instead of one clip per
+        device per dispatch; buckets shard evenly at defaults."""
+        import jax
+        from mint_tpu.parallel import make_mesh
+
+        model, params = tiny_model
+        assert Evaluator(model, self._dataset()).decode_batch == 8
+        mesh = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+        ev = Evaluator(model, self._dataset(n_clips=9), steps=5,
+                       output_dir=str(tmp_path), mesh=mesh)
+        assert ev.decode_batch == 32  # 8 per device x 4-wide data axis
+        ev.evaluate(params)  # 9 clips -> one dispatch, padded to 16
+        assert len(os.listdir(tmp_path)) == 9  # pad clips trimmed
+
     def test_protocol_clamps_to_audio_length(self, tiny_model, tmp_path):
         # audio 30 frames, window 24 -> reference generates 7 frames max.
         model, params = tiny_model
