@@ -190,11 +190,12 @@ class GenerationService:
             raise (RuntimeError if req.fatal else ValueError)(req.error)
         return req.result
 
-    def warmup(self, steps: Optional[int] = None) -> float:
-        """Run one throwaway batch-1 generation through the worker so the
-        ONE-TIME first-dispatch costs — staging params to the device,
-        loading (or compiling) the bucket's decode program on the
-        accelerator — are paid at boot instead of by the first client.
+    def warmup(self, steps: Optional[int] = None, batch: int = 1) -> float:
+        """Run one throwaway batch-`batch` generation through the worker
+        so the ONE-TIME first-dispatch costs — staging params to the
+        device, loading (or compiling) the bucket's decode program on
+        the accelerator — are paid at boot instead of by the first
+        client.
 
         Measured on the tunneled TPU: with a warm persistent compile
         cache the decode program deserializes in ~2 s, yet the first
@@ -203,14 +204,43 @@ class GenerationService:
         steady-state 0.6 s (docs/BENCHMARKS.md, online serving).  Warms
         the `steps` bucket (default `default_steps`); call once per
         bucket you want hot.  Returns the wall seconds spent.
+
+        `batch` > 1 enqueues that many throwaway requests AT ONCE so the
+        worker co-batches them into a single batch-`batch` dispatch,
+        warming the padded BATCH bucket a deployment expecting
+        concurrency will hit (the first measured concurrent burst
+        otherwise pays 24–35 s of batch-bucket compile/staging —
+        docs/BENCHMARKS.md "Online serving").  Clamped to `max_batch`
+        (larger can never co-batch); batch buckets pad to powers of two,
+        so warming `max_batch` covers every batch size up to it.
         """
         t0 = time.time()
         n = steps or self.default_steps
         audio_len = n + self.model.audio_seq_length - 1
         audio = np.zeros((audio_len, self.audio_dim), np.float32)
-        # No timeout cap: boot-time budget is the owner's problem, and
-        # a first compile on a cold cache can exceed request_timeout.
-        self.generate(audio, steps=n, timeout=float("inf"))
+        batch = max(1, min(int(batch), self.max_batch))
+        if batch == 1:
+            # No timeout cap: boot-time budget is the owner's problem,
+            # and a first compile on a cold cache can exceed
+            # request_timeout.
+            self.generate(audio, steps=n, timeout=float("inf"))
+            return time.time() - t0
+        if self._fatal:
+            raise RuntimeError(self._fatal)
+        # Enqueue directly (generate() blocks per call, which would
+        # serialize the requests into `batch` batch-1 dispatches instead
+        # of one co-batched dispatch); all land well inside the worker's
+        # batching window.
+        reqs = [_Request(audio, None, n) for _ in range(batch)]
+        for req in reqs:
+            self._bump("requests")
+            self._q.put(req)
+        for req in reqs:
+            while not req.event.wait(1.0):
+                if self._fatal:
+                    raise RuntimeError(self._fatal)
+            if req.error:
+                raise (RuntimeError if req.fatal else ValueError)(req.error)
         return time.time() - t0
 
     def close(self):
@@ -453,6 +483,16 @@ def main(argv=None):
                          "first client request doesn't pay the one-time "
                          "param-staging / program-load / compile cost "
                          "(minutes on cold caches or tunneled hosts).")
+    flags.DEFINE_integer("warmup_batch", 1,
+                         "Boot-warm the batch-N bucket too: co-batch N "
+                         "throwaway requests into one dispatch.  Set to "
+                         "--max_batch for deployments expecting "
+                         "concurrency — the first concurrent burst "
+                         "otherwise pays 24-35 s of batch-bucket "
+                         "compile/staging (docs/BENCHMARKS.md 'Online "
+                         "serving').  Batch buckets pad to powers of "
+                         "two, so N=max_batch covers every size up to "
+                         "it.")
     flags.DEFINE_boolean("use_bfloat16", False,
                          "Serve with bf16 compute — the throughput "
                          "configuration (~1.5x decode rate, docs/E2E.md "
@@ -511,6 +551,11 @@ def main(argv=None):
             print("warming up the default steps bucket...", flush=True)
             dt = service.warmup()
             print(f"warmup done in {dt:.1f} s", flush=True)
+            if FLAGS.warmup_batch > 1:
+                print(f"warming the batch-{FLAGS.warmup_batch} bucket...",
+                      flush=True)
+                dt = service.warmup(batch=FLAGS.warmup_batch)
+                print(f"batch warmup done in {dt:.1f} s", flush=True)
         server = serve(service, FLAGS.host, FLAGS.port)
         print(f"serving on {FLAGS.host}:{FLAGS.port}")
         try:

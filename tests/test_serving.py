@@ -73,6 +73,24 @@ class TestService:
             RNG.standard_normal((40, 35)).astype(np.float32), steps=8)
         assert out.shape == (8, 225) and np.isfinite(out).all()
 
+    def test_warmup_batch_co_batches_one_dispatch(self, service):
+        """warmup(batch=N) must warm the batch-N bucket with ONE
+        co-batched dispatch (N serialized batch-1 calls would warm
+        nothing new); clamped to max_batch."""
+        before = service.stats_snapshot()
+        dt = service.warmup(steps=8, batch=4)
+        after = service.stats_snapshot()
+        assert dt > 0
+        assert after["requests"] == before["requests"] + 4
+        assert after["batches"] == before["batches"] + 1
+        assert after["generated_frames"] >= \
+            before["generated_frames"] + 4 * 8
+        # Clamp: batch beyond max_batch can never co-batch.
+        assert service.max_batch == 8
+        b0 = service.stats_snapshot()["requests"]
+        service.warmup(steps=8, batch=99)
+        assert service.stats_snapshot()["requests"] == b0 + 8
+
     def test_single_request(self, service):
         audio = RNG.standard_normal((40, 35)).astype(np.float32)
         out = service.generate(audio, steps=10)
