@@ -15,6 +15,11 @@ measures the eval-realistic configuration on the real chip:
 Grid: unroll x last_block_rows around the bf16 optimum.  Run ALONE on
 the single-tenant chip.  Usage:
   python scripts/exp_f32_decode.py [configs like 8x48 1x48 8x360 ...]
+  F32_DECODE_BATCH=8 python scripts/exp_f32_decode.py ...
+    (round 5: re-sweep at the SHIPPED batch — decode_batch defaulted
+    to 8 after the round-4 batch sweep, and the batch-64 optimum need
+    not transfer: the f32 flatness at 64 was attributed to batch-64
+    bandwidth-boundedness.)
 """
 
 import json
@@ -26,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-BATCH = 64
+BATCH = int(os.environ.get("F32_DECODE_BATCH", "64"))
 STEPS = 1200
 CHUNK = 200
 REPEATS = 3
