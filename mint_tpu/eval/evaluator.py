@@ -15,7 +15,9 @@ identical protocol, whole-bucket parallelism.
 from __future__ import annotations
 
 import collections
+import logging
 import os
+import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -25,6 +27,8 @@ import numpy as np
 from mint_tpu.infer import decoder
 from mint_tpu.models.fact import FACT
 from mint_tpu.parallel import mesh as mesh_lib
+
+_log = logging.getLogger(__name__)
 
 
 #: Measured single-chip decode-batch optimum at the f32 scoring protocol
@@ -176,6 +180,7 @@ class Evaluator:
 
     def evaluate(self, params) -> Dict[str, float]:
         """One full eval pass; returns the metric dict."""
+        t_pass = time.monotonic()
         if self.fold_ln:
             from mint_tpu.models.fold import fold_for_decode
             self._decode_model, params = fold_for_decode(self.model, params)
@@ -208,7 +213,6 @@ class Evaluator:
             else:
                 skipped.append(_decode(ex["motion_name"]))
         if skipped:
-            import logging
             logging.getLogger(__name__).warning(
                 "skipping %d clip(s) whose audio (< %d frames) cannot "
                 "fill one decode window: %s", len(skipped),
@@ -219,6 +223,9 @@ class Evaluator:
                 self._run_bucket(params, bucket[i:i + self.decode_batch],
                                  n_steps)
 
+        _log.info("eval pass done: %d clip(s), %d bucket(s), wall %.1f s",
+                  len(examples) - len(skipped), len(buckets),
+                  time.monotonic() - t_pass)
         return {m.name: float(m.result()) for m in self.metrics}
 
     def _run_bucket(self, params, bucket: List[Dict], n_steps: int) -> None:
@@ -262,13 +269,22 @@ class Evaluator:
             decode_kwargs["unroll"] = self.decode_unroll
         if self.decode_rows is not None:
             decode_kwargs["last_block_rows"] = self.decode_rows
+        t0 = time.monotonic()
         out = decoder.infer_auto_regressive(
             self._decode_model, params,
             {"motion_input": motion, "audio_input": audio}, steps=n_steps,
             dispatch_chunk=self.dispatch_chunk, **decode_kwargs)
+        # Dispatch returns async; the np.asarray below blocks on the device
+        # work, so t_dispatch is dominated by trace+compile on a program's
+        # first use and ~0 after.
+        t_dispatch = time.monotonic() - t0
+        t0 = time.monotonic()
         # Prepend the seed (single_task_evaluator.py:71); drop pad clips.
         full = np.concatenate([np.asarray(motion), np.asarray(out)],
                               axis=1)[:n_real]
+        _log.info("decode batch=%d(+%d pad) steps=%d: dispatch %.1f s, "
+                  "execute+fetch %.1f s", n_real, pad, n_steps, t_dispatch,
+                  time.monotonic() - t0)
         motion = np.asarray(motion)[:n_real]
         audio = np.asarray(audio)[:n_real]
 
