@@ -190,7 +190,8 @@ class GenerationService:
             raise (RuntimeError if req.fatal else ValueError)(req.error)
         return req.result
 
-    def warmup(self, steps: Optional[int] = None, batch: int = 1) -> float:
+    def warmup(self, steps: Optional[int] = None, batch: int = 1,
+               all_buckets: bool = False) -> float:
         """Run one throwaway batch-`batch` generation through the worker
         so the ONE-TIME first-dispatch costs — staging params to the
         device, loading (or compiling) the bucket's decode program on
@@ -211,8 +212,17 @@ class GenerationService:
         concurrency will hit (the first measured concurrent burst
         otherwise pays 24–35 s of batch-bucket compile/staging —
         docs/BENCHMARKS.md "Online serving").  Clamped to `max_batch`
-        (larger can never co-batch); batch buckets pad to powers of two,
-        so warming `max_batch` covers every batch size up to it.
+        (larger can never co-batch).
+
+        Batch buckets pad to powers of two and each pow2 size is its
+        OWN compiled program, so warming `batch=N` warms only N's
+        padded bucket — a burst the batching window splits lands in
+        SMALLER buckets (8 arriving as 5+3 dispatches as buckets 8 and
+        4; measured: a CPU-saturated host split an 8-burst and paid a
+        ~250 s bucket-4 compile mid-traffic despite a warmed batch-8
+        bucket).  `all_buckets=True` warms every pow2 bucket from 2 up
+        through `batch`'s padded size so no split can compile
+        mid-traffic.
         """
         t0 = time.time()
         n = steps or self.default_steps
@@ -225,13 +235,30 @@ class GenerationService:
             # request_timeout.
             self.generate(audio, steps=n, timeout=float("inf"))
             return time.time() - t0
+        if all_buckets:
+            # One warm per DISTINCT padded bucket ≤ batch's (the pow2 /
+            # axis-multiple rule shared with _process); smallest request
+            # count that pads to each.
+            targets: Dict[int, int] = {}
+            for k in range(2, batch + 1):
+                b = decoder.padded_batch_size(k, mesh=self.mesh)
+                targets.setdefault(b, k)
+            sizes = [targets[b] for b in sorted(targets)]
+        else:
+            sizes = [batch]
+        for n_req in sizes:
+            self._warm_cobatch(audio, n, n_req)
+        return time.time() - t0
+
+    def _warm_cobatch(self, audio: np.ndarray, n_steps: int,
+                      n_req: int) -> None:
+        """Enqueue `n_req` throwaway requests at once so the worker
+        co-batches them into ONE dispatch (generate() blocks per call,
+        which would serialize them into batch-1 dispatches); all land
+        well inside the worker's batching window."""
         if self._fatal:
             raise RuntimeError(self._fatal)
-        # Enqueue directly (generate() blocks per call, which would
-        # serialize the requests into `batch` batch-1 dispatches instead
-        # of one co-batched dispatch); all land well inside the worker's
-        # batching window.
-        reqs = [_Request(audio, None, n) for _ in range(batch)]
+        reqs = [_Request(audio, None, n_steps) for _ in range(n_req)]
         for req in reqs:
             self._bump("requests")
             self._q.put(req)
@@ -241,7 +268,6 @@ class GenerationService:
                     raise RuntimeError(self._fatal)
             if req.error:
                 raise (RuntimeError if req.fatal else ValueError)(req.error)
-        return time.time() - t0
 
     def close(self):
         self._stop.set()
@@ -490,9 +516,18 @@ def main(argv=None):
                          "concurrency — the first concurrent burst "
                          "otherwise pays 24-35 s of batch-bucket "
                          "compile/staging (docs/BENCHMARKS.md 'Online "
-                         "serving').  Batch buckets pad to powers of "
-                         "two, so N=max_batch covers every size up to "
-                         "it.")
+                         "serving').  Warms only N's pow2-padded "
+                         "bucket; see --warmup_all_buckets.")
+    flags.DEFINE_boolean("warmup_all_buckets", False,
+                         "With --warmup_batch=N, warm EVERY pow2 batch "
+                         "bucket from 2 up through N's padded size, not "
+                         "just N's: a burst the batching window splits "
+                         "lands in smaller buckets, each its own "
+                         "compiled program (measured: a CPU-saturated "
+                         "host split an 8-burst 5+3 and paid a ~250 s "
+                         "bucket-4 compile despite a warmed batch-8 "
+                         "bucket).  Costs one extra throwaway dispatch "
+                         "per bucket at boot.")
     flags.DEFINE_boolean("use_bfloat16", False,
                          "Serve with bf16 compute — the throughput "
                          "configuration (~1.5x decode rate, docs/E2E.md "
@@ -552,9 +587,12 @@ def main(argv=None):
             dt = service.warmup()
             print(f"warmup done in {dt:.1f} s", flush=True)
             if FLAGS.warmup_batch > 1:
-                print(f"warming the batch-{FLAGS.warmup_batch} bucket...",
+                which = ("buckets 2.." if FLAGS.warmup_all_buckets
+                         else "bucket ")
+                print(f"warming the batch-{which}{FLAGS.warmup_batch}...",
                       flush=True)
-                dt = service.warmup(batch=FLAGS.warmup_batch)
+                dt = service.warmup(batch=FLAGS.warmup_batch,
+                                    all_buckets=FLAGS.warmup_all_buckets)
                 print(f"batch warmup done in {dt:.1f} s", flush=True)
         server = serve(service, FLAGS.host, FLAGS.port)
         print(f"serving on {FLAGS.host}:{FLAGS.port}")

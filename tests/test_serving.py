@@ -91,6 +91,20 @@ class TestService:
         service.warmup(steps=8, batch=99)
         assert service.stats_snapshot()["requests"] == b0 + 8
 
+    def test_warmup_all_buckets_one_dispatch_per_pow2(self, service):
+        """all_buckets=True must warm EVERY pow2 bucket up through
+        batch's padded size — one co-batched dispatch each (2, 4, 8),
+        because each pow2 size is its own compiled program and a
+        window-split burst lands in the smaller ones."""
+        before = service.stats_snapshot()
+        dt = service.warmup(steps=8, batch=8, all_buckets=True)
+        after = service.stats_snapshot()
+        assert dt > 0
+        assert after["batches"] == before["batches"] + 3  # buckets 2,4,8
+        # Smallest request count that pads to each bucket: 2→2, 3→4,
+        # 5→8 (the padding does the rest; fewer throwaway rows).
+        assert after["requests"] == before["requests"] + 2 + 3 + 5
+
     def test_single_request(self, service):
         audio = RNG.standard_normal((40, 35)).astype(np.float32)
         out = service.generate(audio, steps=10)
