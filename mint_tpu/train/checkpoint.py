@@ -12,6 +12,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -127,9 +128,14 @@ class CheckpointManager:
         which through a slow device link is the whole stall (~80 s for a
         full TrainState on a 12 MB/s tunnel, docs/BENCHMARKS.md).  This
         snapshots `state` into fresh device buffers (one cheap on-device
-        dispatch) and runs the orbax save on a background thread, so the
-        caller may immediately re-dispatch training — including donating
-        `state`'s buffers — while the fetch rides the link.
+        dispatch) and runs the fetch + orbax save on a background
+        thread, so the caller may immediately re-dispatch training —
+        including donating `state`'s buffers — while the fetch rides
+        the link.  The background fetch is PER-LEAF (see `_run`): one
+        batched fetch would saturate the link and block every other
+        transfer behind it — measured 82 s of lost training per save vs
+        2.8 s per-leaf (drag 1.1%), for a 97 → 255 s longer drain
+        window on a 12 MB/s tunnel (`scripts/exp_save_drag.py`).
 
         At most one save is in flight: starting the next save (or a
         restore / wait / close) joins the previous one and re-raises its
@@ -157,10 +163,11 @@ class CheckpointManager:
         checkpoint — orbax's atomic rename prevents corruption but not
         loss.
 
-        Cost: the snapshot doubles the state's HBM footprint until the
-        background fetch completes (~2× 1.4 GB for the flagship
-        TrainState — fine on a 16 GB chip; for models near the HBM
-        limit use the synchronous :meth:`save`).
+        Cost: the snapshot doubles the state's HBM footprint, decaying
+        back to 1× as the per-leaf fetch releases each copied buffer
+        (~2× 1.4 GB peak for the flagship TrainState — fine on a 16 GB
+        chip; for models near the HBM limit use the synchronous
+        :meth:`save`).
         """
         if jax.process_count() > 1:
             return self.save(step, state, force)
@@ -171,9 +178,34 @@ class CheckpointManager:
             return False
         snapshot = _copy_tree(state)
 
-        def _run():
+        def _run(snapshot=snapshot):
             try:
-                self._mgr.save(step, args=ocp.args.StandardSave(snapshot),
+                # Fetch the snapshot to host NumPy ONE LEAF AT A TIME
+                # before handing orbax a pure-host tree.  Handing orbax
+                # the device snapshot lets its StandardSave fetch every
+                # array in one batched replica-read, which saturates a
+                # slow device link for the whole transfer — anything
+                # else needing the link (the training loop's metric
+                # sync, eval traffic) queues behind all 1.4 GB of it: a
+                # measured 82 s blocked training loop per save on a
+                # 12 MB/s tunnel.  Per-leaf transactions leave
+                # inter-leaf gaps where those transfers interleave —
+                # measured drag 1.1% (2.8 s lost per save) at the cost
+                # of a longer drain (97 → 255 s on that link;
+                # scripts/exp_save_drag.py, docs/BENCHMARKS.md
+                # "Checkpoint-save stall").  Each device buffer is
+                # released as its host copy lands, so the 2× HBM
+                # footprint also decays over the drain instead of
+                # persisting through it.
+                leaves, treedef = jax.tree_util.tree_flatten(snapshot)
+                snapshot = None
+                host = []
+                for i, leaf in enumerate(leaves):
+                    host.append(np.asarray(leaf)
+                                if isinstance(leaf, jax.Array) else leaf)
+                    leaves[i] = None
+                host_tree = jax.tree_util.tree_unflatten(treedef, host)
+                self._mgr.save(step, args=ocp.args.StandardSave(host_tree),
                                force=True)
             except BaseException as exc:  # re-raised at the next join
                 self._save_exc = exc
