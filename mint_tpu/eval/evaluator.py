@@ -129,6 +129,12 @@ class Evaluator:
             data = mesh.shape[mesh_lib.DATA_AXIS] if mesh is not None else 1
             decode_batch = PER_DEVICE_DECODE_BATCH * data
         self.decode_batch = int(decode_batch)
+        if self.decode_batch < 1:
+            # A negative value would make the bucket loop's range() step
+            # backwards — zero clips decoded, yet the empty metric
+            # accumulators would still "return" a result.
+            raise ValueError(
+                f"decode_batch must be >= 1, got {self.decode_batch}")
         self.mesh = mesh
         self.dispatch_chunk = dispatch_chunk
         self.steps_bucket = (int(steps_bucket)
@@ -213,7 +219,7 @@ class Evaluator:
             else:
                 skipped.append(_decode(ex["motion_name"]))
         if skipped:
-            logging.getLogger(__name__).warning(
+            _log.warning(
                 "skipping %d clip(s) whose audio (< %d frames) cannot "
                 "fill one decode window: %s", len(skipped),
                 self.model.audio_seq_length, ", ".join(skipped[:10]))

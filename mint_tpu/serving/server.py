@@ -251,23 +251,48 @@ class GenerationService:
         return time.time() - t0
 
     def _warm_cobatch(self, audio: np.ndarray, n_steps: int,
-                      n_req: int) -> None:
+                      n_req: int, attempts: int = 3) -> None:
         """Enqueue `n_req` throwaway requests at once so the worker
         co-batches them into ONE dispatch (generate() blocks per call,
-        which would serialize them into batch-1 dispatches); all land
-        well inside the worker's batching window."""
+        which would serialize them into batch-1 dispatches).
+
+        The burst landing in one dispatch is VERIFIED via the `batches`
+        counter, not assumed: on a CPU-saturated host at boot the
+        batching window can expire between puts, splitting the burst
+        into smaller buckets — warming e.g. 5- and 3-padded buckets
+        while the requested bucket stays cold for the first real
+        concurrent burst (the exact failure warmup exists to prevent).
+        A split burst is retried (the split's smaller-bucket work is
+        not wasted — those buckets are now warm too); if every attempt
+        splits, a warning says which bucket may still be cold."""
         if self._fatal:
             raise RuntimeError(self._fatal)
-        reqs = [_Request(audio, None, n_steps) for _ in range(n_req)]
-        for req in reqs:
-            self._bump("requests")
-            self._q.put(req)
-        for req in reqs:
-            while not req.event.wait(1.0):
-                if self._fatal:
-                    raise RuntimeError(self._fatal)
-            if req.error:
-                raise (RuntimeError if req.fatal else ValueError)(req.error)
+        for attempt in range(attempts):
+            before = self.stats_snapshot()["batches"]
+            reqs = [_Request(audio, None, n_steps) for _ in range(n_req)]
+            for req in reqs:
+                self._bump("requests")
+                self._q.put(req)
+            for req in reqs:
+                while not req.event.wait(1.0):
+                    if self._fatal:
+                        raise RuntimeError(self._fatal)
+                if req.error:
+                    raise (RuntimeError if req.fatal else ValueError)(
+                        req.error)
+            dispatched = self.stats_snapshot()["batches"] - before
+            if dispatched <= 1:
+                return
+            if attempt + 1 < attempts:
+                log.warning(
+                    "warmup burst of %d split into %d dispatches "
+                    "(batching window expired mid-burst); retrying "
+                    "(%d/%d)", n_req, dispatched, attempt + 2, attempts)
+        log.warning(
+            "warmup for a %d-request burst never co-batched after %d "
+            "attempts — the batch-%d bucket may still be cold for the "
+            "first real concurrent burst", n_req, attempts,
+            decoder.padded_batch_size(n_req, mesh=self.mesh))
 
     def close(self):
         self._stop.set()

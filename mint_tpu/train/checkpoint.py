@@ -45,9 +45,13 @@ class CheckpointManager:
     """Thin wrapper over orbax CheckpointManager for TrainState pytrees."""
 
     def __init__(self, directory: str, save_interval_steps: int = 1000,
-                 max_to_keep: int = 5):
+                 max_to_keep: int = 5, async_join_grace: float = 1.0):
         self.directory = os.path.abspath(directory)
         self.save_interval_steps = save_interval_steps
+        #: How long a non-forced :meth:`save_async` waits for a previous
+        #: save's background drain before DEFERRING (returning False)
+        #: instead of blocking — see :meth:`save_async`.
+        self.async_join_grace = async_join_grace
         os.makedirs(self.directory, exist_ok=True)
         self._save_thread: Optional[threading.Thread] = None
         self._save_exc: Optional[BaseException] = None
@@ -112,6 +116,7 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
         self.join_async_save()
+        self._known_steps.update(self._mgr.all_steps())
         if not self.would_save(step, force):
             return False
         saved = self._mgr.save(step, args=ocp.args.StandardSave(state),
@@ -137,8 +142,18 @@ class CheckpointManager:
         2.8 s per-leaf (drag 1.1%), for a 97 → 255 s longer drain
         window on a 12 MB/s tunnel (`scripts/exp_save_drag.py`).
 
-        At most one save is in flight: starting the next save (or a
-        restore / wait / close) joins the previous one and re-raises its
+        At most one save is in flight.  A non-forced save offered while
+        the previous drain is still in flight waits up to
+        `async_join_grace` (default 1 s — healthy links drain far
+        faster, so eligible boundaries still save every interval) and
+        then returns False — DEFERRED, not blocked: on links where the
+        drain exceeds the save cadence, joining would stall training
+        for drain-minus-cadence at every save.  Callers that offer
+        saves periodically (the controller offers at every loop
+        boundary) land the save at the first offer after the drain;
+        the effective cadence is max(interval, drain), the physically
+        achievable rate of the link.  Forced saves, restore / wait /
+        close still join outright and re-raise the joined save's
         failure.  `would_save` stays non-blocking — it counts the
         in-flight step as saved.
 
@@ -173,6 +188,24 @@ class CheckpointManager:
             return self.save(step, state, force)
         if not self.would_save(step, force):
             return False
+        t = self._save_thread
+        if t is not None and t.is_alive() and not force:
+            # A previous save's background drain is still in flight.
+            # Joining unconditionally would stall training for the
+            # REMAINDER of the drain — on links where the drain exceeds
+            # the save cadence (1.4 GB needs ≥117 s through a 12 MB/s
+            # tunnel vs an 80 s cadence at interval=1000 × 12.5 steps/s)
+            # every save would block for drain-minus-cadence, undoing
+            # the async win.  Wait a bounded grace (healthy links drain
+            # in well under it, so eligible boundaries still save), then
+            # DEFER: the controller re-offers every loop boundary, so
+            # the save lands at the first boundary after the drain —
+            # effective cadence max(interval, drain), the physically
+            # achievable rate of that link.  `force` saves (shutdown)
+            # skip the grace and join outright.
+            t.join(timeout=self.async_join_grace)
+            if t.is_alive():
+                return False
         self.join_async_save()  # serialize saves; surface prior failures
         if not self.would_save(step, force):  # re-check post-registration
             return False
@@ -218,11 +251,13 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         self.join_async_save()
+        self._known_steps.update(self._mgr.all_steps())
         return self._mgr.latest_step()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure/shardings of `state_template`."""
         self.join_async_save()
+        self._known_steps.update(self._mgr.all_steps())
         if step is None:
             step = self._mgr.latest_step()
         if step is None:

@@ -178,17 +178,22 @@ def child(variant):
 
 
 def main():
+    attempts = 2
     for variant in VARIANTS:
-        for attempt in range(2):
+        for attempt in range(attempts):
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), variant],
                 cwd=os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__)))).returncode
             if rc == 0:
                 break
-            print(f"# {variant} child failed rc={rc}; retry in 120s",
-                  flush=True)
-            time.sleep(120)
+            if attempt + 1 < attempts:  # no dead sleep after the last try
+                print(f"# {variant} child failed rc={rc}; retry in 120s",
+                      flush=True)
+                time.sleep(120)
+            else:
+                print(f"# {variant} child failed rc={rc}; giving up",
+                      flush=True)
 
 
 if __name__ == "__main__":

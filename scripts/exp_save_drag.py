@@ -14,14 +14,20 @@ the device not at all).  Pacing can't create bandwidth — the question
 is whether the drag is queueing (fixable) or raw byte-cost (the
 ceiling).
 
+The per-leaf fetch WON this probe and became the shipped save_async
+(commit 2b71615), so the variant names track roles, not history:
+
 Variants (fresh subprocess each; run ALONE on the single-tenant chip):
-  shipped    CheckpointManager.save_async as shipped (orbax fetches
-             the device snapshot on the background thread)
-  hostfetch  same on-device snapshot, but the background thread fetches
-             it leaf-by-leaf to NumPy first, then orbax-saves the host
-             tree
-  paced      hostfetch + a 100 ms sleep between leaf fetches (an upper
-             bound on politeness: ~700 leaves -> ~70 s added drain)
+  batched    the pre-2b71615 baseline, reconstructed: the background
+             thread hands orbax the DEVICE snapshot, whose StandardSave
+             fetches every array in one batched replica-read (the
+             measured 82 s blocked training loop)
+  shipped    CheckpointManager.save_async as shipped: the background
+             thread fetches the snapshot leaf-by-leaf to NumPy, then
+             orbax-saves the pure-host tree
+  paced      like shipped, plus a 100 ms sleep between leaf fetches (an
+             upper bound on politeness: ~700 leaves -> ~70 s added
+             drain)
 
 Protocol: flagship trainer (batch 32, bf16, fused 10-step loops,
 device-committed synthetic batches — the --input_backend=device
@@ -54,7 +60,7 @@ PRE_LOOPS = 10
 MAX_POST_LOOPS = 400
 TAIL_LOOPS = 5
 
-VARIANTS = ["shipped", "hostfetch", "paced"]
+VARIANTS = ["batched", "shipped", "paced"]
 
 
 def child(variant):
@@ -123,7 +129,20 @@ def child(variant):
         t_save = time.perf_counter()
         mgr.save_async(int(np.asarray(state.step)), state, force=True)
         save_thread = mgr._save_thread
-    else:
+    elif variant == "batched":
+        # Reconstruct the pre-2b71615 save_async: orbax gets the DEVICE
+        # snapshot and its StandardSave does one batched replica-read.
+        snapshot = _copy_tree(state)
+        step_no = int(np.asarray(state.step))
+
+        def _run_batched():
+            mgr._mgr.save(step_no, args=ocp.args.StandardSave(snapshot),
+                          force=True)
+
+        t_save = time.perf_counter()
+        save_thread = threading.Thread(target=_run_batched, name="drag-save")
+        save_thread.start()
+    else:  # paced
         snapshot = _copy_tree(state)
         step_no = int(np.asarray(state.step))
 
@@ -134,8 +153,7 @@ def child(variant):
             for leaf in leaves:
                 host.append(np.asarray(leaf)
                             if isinstance(leaf, jax.Array) else leaf)
-                if variant == "paced":
-                    time.sleep(0.1)
+                time.sleep(0.1)
             fetch_s[0] = time.perf_counter() - t0
             host_tree = jax.tree_util.tree_unflatten(treedef, host)
             mgr._mgr.save(step_no, args=ocp.args.StandardSave(host_tree),
@@ -189,17 +207,22 @@ def child(variant):
 
 
 def main():
+    attempts = 2
     for variant in VARIANTS:
-        for attempt in range(2):
+        for attempt in range(attempts):
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), variant],
                 cwd=os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__)))).returncode
             if rc == 0:
                 break
-            print(f"# {variant} child failed rc={rc}; retry in 120s",
-                  flush=True)
-            time.sleep(120)
+            if attempt + 1 < attempts:  # no dead sleep after the last try
+                print(f"# {variant} child failed rc={rc}; retry in 120s",
+                      flush=True)
+                time.sleep(120)
+            else:
+                print(f"# {variant} child failed rc={rc}; giving up",
+                      flush=True)
 
 
 if __name__ == "__main__":

@@ -370,7 +370,13 @@ def test_controller_save_does_not_stall_training(tmp_path):
         while True:
             yield batch
 
-    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=10)
+    # A generous async_join_grace keeps this test deterministic: every
+    # boundary save JOINS the previous 2 s slow save instead of racing
+    # the defer path (whose behavior test_save_async_defers_while_
+    # drain_in_flight pins with event-controlled timing), so the saved
+    # steps are exactly [5, 15, 25] regardless of loop speed.
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=10,
+                            async_join_grace=30.0)
     finished = {}
     orig_save = mgr._mgr.save
 
@@ -393,6 +399,42 @@ def test_controller_save_does_not_stall_training(tmp_path):
         "train() blocked until the interval save completed"
     assert sorted(map(int, os.listdir(str(tmp_path / "ckpt")))) == [5, 15, 25]
     ctl.close()
+
+
+def test_save_async_defers_while_drain_in_flight(tmp_path):
+    """A non-forced save_async offered while the previous save's
+    background drain is still in flight must DEFER (return False after
+    the bounded grace) rather than join — on links where the drain
+    exceeds the save cadence, joining would stall training for
+    drain-minus-cadence at every save.  The deferred step stays
+    eligible (`would_save` still True) and lands at the first offer
+    after the drain; forced saves join outright."""
+    import threading
+
+    model = build(tiny_cfg(), is_training=True)
+    params = init_params(model, jax.random.PRNGKey(0))
+    trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
+    state = trainer.init_state(params)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=10,
+                            async_join_grace=0.05)
+    release = threading.Event()
+    orig_save = mgr._mgr.save
+
+    def gated_save(*args, **kwargs):
+        assert release.wait(timeout=30), "test never released the save"
+        return orig_save(*args, **kwargs)
+
+    mgr._mgr.save = gated_save
+    assert mgr.save_async(10, state)        # drain starts, held by the event
+    assert not mgr.save_async(20, state), \
+        "save_async joined a slow in-flight drain instead of deferring"
+    assert mgr.would_save(20), "deferred step lost its save eligibility"
+    release.set()
+    mgr.wait_until_finished()
+    assert mgr.save_async(20, state)        # lands at the next offer
+    mgr.wait_until_finished()
+    assert sorted(map(int, os.listdir(str(tmp_path / "ckpt")))) == [10, 20]
+    mgr.close()
 
 
 def test_save_async_failure_surfaces_at_next_join(tmp_path):
