@@ -5,6 +5,7 @@ import io
 import json
 import os
 import threading
+import time
 import urllib.request
 import urllib.error
 
@@ -104,6 +105,35 @@ class TestService:
         # Smallest request count that pads to each bucket: 2→2, 3→4,
         # 5→8 (the padding does the rest; fewer throwaway rows).
         assert after["requests"] == before["requests"] + 2 + 3 + 5
+
+    def test_warmup_split_burst_retries_and_warns(self, service, monkeypatch,
+                                                  caplog):
+        """A warm burst the batching window splits (CPU-saturated boot)
+        must be DETECTED — not reported as a warmed bucket — and
+        retried; if every attempt splits, a warning names the possibly
+        cold bucket.  The split is forced deterministically by delaying
+        each enqueue past the 30 ms window."""
+        import logging as logging_lib
+
+        orig_put = service._q.put
+
+        def slow_put(item):
+            time.sleep(0.5)  # every gap exceeds the 30 ms window
+            orig_put(item)
+
+        monkeypatch.setattr(service._q, "put", slow_put)
+        audio = np.zeros((8 + service.model.audio_seq_length - 1,
+                          service.audio_dim), np.float32)
+        before = service.stats_snapshot()
+        with caplog.at_level(logging_lib.WARNING,
+                             logger="mint_tpu.serving.server"):
+            service._warm_cobatch(audio, 8, 2, attempts=2)
+        after = service.stats_snapshot()
+        # Both attempts split 2 requests into 2 batch-1 dispatches.
+        assert after["requests"] == before["requests"] + 4
+        assert after["batches"] == before["batches"] + 4
+        assert "split into" in caplog.text
+        assert "never co-batched" in caplog.text
 
     def test_single_request(self, service):
         audio = RNG.standard_normal((40, 35)).astype(np.float32)
