@@ -53,6 +53,12 @@ class _Request:
         # request: generate() raises RuntimeError (HTTP 500), never the
         # ValueError (400) reserved for client errors.
         self.fatal = False
+        # PADDED batch size of the dispatch this request rode in
+        # (stamped by the worker on success; 0 = never dispatched).
+        # Warmup reads it to VERIFY its burst warmed the intended
+        # bucket — a global-counter delta would misread concurrent
+        # live-traffic dispatches as a split burst.
+        self.cobatch = 0
 
 
 class GenerationService:
@@ -230,6 +236,15 @@ class GenerationService:
         audio = np.zeros((audio_len, self.audio_dim), np.float32)
         batch = max(1, min(int(batch), self.max_batch))
         if batch == 1:
+            if all_buckets:
+                # There are no pow2 buckets below 2: all_buckets with
+                # batch=1 warms only the batch-1 bucket.  Say so —
+                # callers who meant "warm everything" should pass
+                # batch=max_batch (the CLI's --warmup_all_buckets does).
+                log.warning(
+                    "warmup(all_buckets=True) with batch=1 warms only "
+                    "the batch-1 bucket; pass batch=%d to warm every "
+                    "bucket", self.max_batch)
             # No timeout cap: boot-time budget is the owner's problem,
             # and a first compile on a cold cache can exceed
             # request_timeout.
@@ -256,19 +271,25 @@ class GenerationService:
         co-batches them into ONE dispatch (generate() blocks per call,
         which would serialize them into batch-1 dispatches).
 
-        The burst landing in one dispatch is VERIFIED via the `batches`
-        counter, not assumed: on a CPU-saturated host at boot the
-        batching window can expire between puts, splitting the burst
-        into smaller buckets — warming e.g. 5- and 3-padded buckets
-        while the requested bucket stays cold for the first real
-        concurrent burst (the exact failure warmup exists to prevent).
-        A split burst is retried (the split's smaller-bucket work is
-        not wasted — those buckets are now warm too); if every attempt
-        splits, a warning says which bucket may still be cold."""
+        The burst landing in the intended bucket is VERIFIED, not
+        assumed: the worker stamps every request with the PADDED batch
+        size of the dispatch it rode in (`_Request.cobatch`), and each
+        warm request must report the target bucket — per-request, so
+        concurrent live traffic can neither mask a split nor fake one
+        (a global batches-counter delta would).  On a CPU-saturated
+        host at boot the batching window can expire between puts,
+        splitting the burst into smaller buckets — warming e.g. 5- and
+        3-padded buckets while the requested bucket stays cold for the
+        first real concurrent burst (the exact failure warmup exists
+        to prevent); a live request riding the warm dispatch likewise
+        lands it in a LARGER bucket than the target.  A missed-target
+        burst is retried (the stray work is not wasted — whatever
+        buckets it hit are now warm); if every attempt misses, a
+        warning says which bucket may still be cold."""
         if self._fatal:
             raise RuntimeError(self._fatal)
+        target = decoder.padded_batch_size(n_req, mesh=self.mesh)
         for attempt in range(attempts):
-            before = self.stats_snapshot()["batches"]
             reqs = [_Request(audio, None, n_steps) for _ in range(n_req)]
             for req in reqs:
                 self._bump("requests")
@@ -280,19 +301,19 @@ class GenerationService:
                 if req.error:
                     raise (RuntimeError if req.fatal else ValueError)(
                         req.error)
-            dispatched = self.stats_snapshot()["batches"] - before
-            if dispatched <= 1:
+            rode = sorted({req.cobatch for req in reqs})
+            if rode == [target]:
                 return
             if attempt + 1 < attempts:
                 log.warning(
-                    "warmup burst of %d split into %d dispatches "
-                    "(batching window expired mid-burst); retrying "
-                    "(%d/%d)", n_req, dispatched, attempt + 2, attempts)
+                    "warmup burst of %d split into bucket(s) %s instead "
+                    "of one bucket-%d dispatch (batching window expired "
+                    "mid-burst, or live traffic rode along); retrying "
+                    "(%d/%d)", n_req, rode, target, attempt + 2, attempts)
         log.warning(
             "warmup for a %d-request burst never co-batched after %d "
             "attempts — the batch-%d bucket may still be cold for the "
-            "first real concurrent burst", n_req, attempts,
-            decoder.padded_batch_size(n_req, mesh=self.mesh))
+            "first real concurrent burst", n_req, attempts, target)
 
     def close(self):
         self._stop.set()
@@ -417,6 +438,7 @@ class GenerationService:
                     req_steps = decoder.max_steps(
                         self.model, req.audio.shape[0], req.steps)
                     req.result = out[i, :req_steps]
+                    req.cobatch = batch
                     self._bump("generated_frames", int(req_steps))
                     req.event.set()
             except Exception as e:
@@ -544,8 +566,9 @@ def main(argv=None):
                          "serving').  Warms only N's pow2-padded "
                          "bucket; see --warmup_all_buckets.")
     flags.DEFINE_boolean("warmup_all_buckets", False,
-                         "With --warmup_batch=N, warm EVERY pow2 batch "
-                         "bucket from 2 up through N's padded size, not "
+                         "Warm EVERY pow2 batch bucket from 2 up "
+                         "through --warmup_batch's padded size (through "
+                         "--max_batch's if --warmup_batch is unset), not "
                          "just N's: a burst the batching window splits "
                          "lands in smaller buckets, each its own "
                          "compiled program (measured: a CPU-saturated "
@@ -611,12 +634,18 @@ def main(argv=None):
             print("warming up the default steps bucket...", flush=True)
             dt = service.warmup()
             print(f"warmup done in {dt:.1f} s", flush=True)
-            if FLAGS.warmup_batch > 1:
+            warm_batch = FLAGS.warmup_batch
+            if FLAGS.warmup_all_buckets and warm_batch <= 1:
+                # --warmup_all_buckets alone means "warm every bucket":
+                # without this, the flag was a silent no-op unless
+                # --warmup_batch was also raised.
+                warm_batch = FLAGS.max_batch
+            if warm_batch > 1:
                 which = ("buckets 2.." if FLAGS.warmup_all_buckets
                          else "bucket ")
-                print(f"warming the batch-{which}{FLAGS.warmup_batch}...",
+                print(f"warming the batch-{which}{warm_batch}...",
                       flush=True)
-                dt = service.warmup(batch=FLAGS.warmup_batch,
+                dt = service.warmup(batch=warm_batch,
                                     all_buckets=FLAGS.warmup_all_buckets)
                 print(f"batch warmup done in {dt:.1f} s", flush=True)
         server = serve(service, FLAGS.host, FLAGS.port)

@@ -47,12 +47,19 @@ flags.DEFINE_integer("steps_bucket", 128,
                      "(metrics are batching-invariant, tests/test_eval).")
 flags.DEFINE_integer("decode_batch", 0,
                      "Max clips per decode dispatch; 0 (default) = "
-                     "mesh-aware auto: 8 per data-axis device.  Small "
+                     "mesh-aware auto: 8 per data-axis device (the "
+                     "mesh comes from --data_parallelism).  Small "
                      "PER-DEVICE batches decode FASTER per frame (batch "
                      "8: 1683 f/s vs batch 64: 1061 f/s at the full f32 "
                      "scoring protocol — docs/BENCHMARKS.md 'f32 "
                      "scoring decode BATCH sweep'); metrics are "
                      "batching-invariant.")
+flags.DEFINE_integer("data_parallelism", 0,
+                     "Shard decode batches over this many devices "
+                     "(0 = all visible devices; 1 = single-chip).  "
+                     "Mirrors the serving CLI; clip buckets shard over "
+                     "the mesh's data axis and params are replicated "
+                     "once per checkpoint pass.")
 flags.DEFINE_bool("reload_dataset_per_pass", False,
                   "Re-read the eval tfrecords for every checkpoint pass "
                   "instead of caching the parsed corpus after the first "
@@ -94,10 +101,18 @@ def evaluate():
             pipeline.eval_config, pipeline.eval_dataset, is_training=False,
             use_tpu=False)
 
+    import jax
+    mesh = None
+    n_dev = FLAGS.data_parallelism or len(jax.devices())
+    if n_dev > 1:
+        from mint_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(data=n_dev, model=1,
+                                  devices=jax.devices()[:n_dev])
     evaluator = Evaluator(model, dataset, metrics=metrics,
                           output_dir=FLAGS.output_dir, steps=FLAGS.steps,
                           steps_bucket=FLAGS.steps_bucket or None,
                           decode_batch=FLAGS.decode_batch or None,
+                          mesh=mesh,
                           cache_examples=not FLAGS.reload_dataset_per_pass)
 
     # Abstract template only: every eval pass restores real params from a

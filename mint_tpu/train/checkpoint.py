@@ -56,6 +56,13 @@ class CheckpointManager:
         self._save_thread: Optional[threading.Thread] = None
         self._save_exc: Optional[BaseException] = None
         self._inflight_step: Optional[int] = None
+        # The drain thread we already paid `async_join_grace` for:
+        # later offers against the SAME drain defer instantly instead
+        # of re-paying the grace at every loop boundary (once the
+        # interval elapses, would_save is True at every boundary, so a
+        # long drain would otherwise collect ~1 s of idle device per
+        # ~3 s boundary — a ~30% stall through the overrun window).
+        self._graced_thread: Optional[threading.Thread] = None
         # Interval gating is done HERE with tf.train.CheckpointManager
         # semantics ("interval elapsed since the last save"), not via
         # orbax's save_interval_steps option: orbax's FixedIntervalPolicy
@@ -86,6 +93,7 @@ class CheckpointManager:
         if t is not None:
             t.join()
             self._save_thread = None
+            self._graced_thread = None
             step, self._inflight_step = self._inflight_step, None
             if self._save_exc is not None:
                 exc, self._save_exc = self._save_exc, None
@@ -145,7 +153,9 @@ class CheckpointManager:
         At most one save is in flight.  A non-forced save offered while
         the previous drain is still in flight waits up to
         `async_join_grace` (default 1 s — healthy links drain far
-        faster, so eligible boundaries still save every interval) and
+        faster, so eligible boundaries still save every interval;
+        paid ONCE per drain — later offers against the same drain
+        defer immediately) and
         then returns False — DEFERRED, not blocked: on links where the
         drain exceeds the save cadence, joining would stall training
         for drain-minus-cadence at every save.  Callers that offer
@@ -203,8 +213,16 @@ class CheckpointManager:
             # effective cadence max(interval, drain), the physically
             # achievable rate of that link.  `force` saves (shutdown)
             # skip the grace and join outright.
-            t.join(timeout=self.async_join_grace)
+            # The grace is paid ONCE per drain: the first offer waits
+            # `async_join_grace`; every later offer against the same
+            # still-alive thread defers immediately (re-paying 1 s at
+            # every ~3 s loop boundary through a 175 s overrun window
+            # would stall ~30% of the device, dwarfing the 1.1% drag
+            # the async path exists for).
+            if t is not self._graced_thread:
+                t.join(timeout=self.async_join_grace)
             if t.is_alive():
+                self._graced_thread = t
                 return False
         self.join_async_save()  # serialize saves; surface prior failures
         if not self.would_save(step, force):  # re-check post-registration

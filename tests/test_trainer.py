@@ -408,15 +408,20 @@ def test_save_async_defers_while_drain_in_flight(tmp_path):
     exceeds the save cadence, joining would stall training for
     drain-minus-cadence at every save.  The deferred step stays
     eligible (`would_save` still True) and lands at the first offer
-    after the drain; forced saves join outright."""
+    after the drain; forced saves join outright.  The grace is paid
+    ONCE per drain: later offers against the same drain defer
+    immediately (the controller offers at every ~3 s loop boundary —
+    re-paying 1 s each time would stall ~30% of the device through a
+    drain-overrun window)."""
     import threading
+    import time as time_lib
 
     model = build(tiny_cfg(), is_training=True)
     params = init_params(model, jax.random.PRNGKey(0))
     trainer = Trainer(model, schedules.constant(1e-3), mesh=make_mesh(8, 1))
     state = trainer.init_state(params)
     mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=10,
-                            async_join_grace=0.05)
+                            async_join_grace=0.5)
     release = threading.Event()
     orig_save = mgr._mgr.save
 
@@ -429,6 +434,10 @@ def test_save_async_defers_while_drain_in_flight(tmp_path):
     assert not mgr.save_async(20, state), \
         "save_async joined a slow in-flight drain instead of deferring"
     assert mgr.would_save(20), "deferred step lost its save eligibility"
+    t0 = time_lib.monotonic()
+    assert not mgr.save_async(20, state)    # same drain: defers instantly
+    assert time_lib.monotonic() - t0 < mgr.async_join_grace / 2, \
+        "a later offer against the same drain re-paid the join grace"
     release.set()
     mgr.wait_until_finished()
     assert mgr.save_async(20, state)        # lands at the next offer
